@@ -1,0 +1,301 @@
+"""The decode engine: KV-cached greedy / sampling / batched beam search.
+
+ONE engine serves inference, per-epoch validation, beam demos, and SCST rollouts —
+the reference instead re-ran the decoder over the full growing prefix every step
+with no KV cache (vit_transformer_model.py:296-325 greedy, :327-420 beam;
+utils/scst_loss.py:202-254 sampling), an O(L^2) pattern this engine replaces with
+O(L) cached steps under ``jax.lax.while_loop`` (early exit when every sequence has
+emitted <end>, exactly like the reference's ``.all()`` break).
+
+Greedy parity notes:
+- logits are f32 and argmax ties break toward the lower index (jnp.argmax), same
+  as torch.argmax
+- finished rows keep receiving argmax tokens until the global early-exit, matching
+  the reference loop; text decoding stops at the first <end> either way.
+
+Beam search reproduces the reference algorithm shape-statically:
+- score = summed log-probs, NO length normalization
+- step 0 expands from beam 0 only (vit:370-378)
+- a beam that emits <end> is "harvested": its slot's score drops to -inf so the
+  live set shrinks, like the reference's remove-and-continue (vit:398-413)
+- vit stop rule: all beams finished; grid stop rule: >= beam_size harvested
+  (grid:308) — selectable via ``stop_when_harvested``
+- returns best completed sequence, else best live (vit:415-420)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+StepFn = Callable[[jnp.ndarray, Dict[str, Any], jnp.ndarray], Tuple[jnp.ndarray, Dict[str, Any]]]
+
+
+def sequence_lengths(tokens: jnp.ndarray, end_id: int) -> jnp.ndarray:
+    """Length including <start> and the first <end> (or full length if no <end>)."""
+    is_end = tokens == end_id
+    any_end = jnp.any(is_end, axis=-1)
+    first_end = jnp.argmax(is_end, axis=-1)
+    return jnp.where(any_end, first_end + 1, tokens.shape[-1]).astype(jnp.int32)
+
+
+def _apply_fns(model, variables) -> Tuple[Callable, StepFn]:
+    # CaptioningModel exposes decode_step/init_cache; a bare TransformerDecoder
+    # exposes step/init_cache — accept either.
+    step_method = getattr(type(model), "decode_step", None) or type(model).step
+
+    def init_cache(memory, max_len):
+        return model.apply(variables, memory, max_len, method=type(model).init_cache)
+
+    def step(token, cache, index):
+        return model.apply(variables, token, cache, index, method=step_method)
+
+    return init_cache, step
+
+
+@functools.partial(jax.jit, static_argnames=("model", "start_id", "end_id", "max_len"))
+def greedy_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+) -> jnp.ndarray:
+    """Batched greedy decode from precomputed memory. Returns int32 [B, max_len].
+
+    Positions after global termination are <pad> (0); callers recover true lengths
+    with ``sequence_lengths``.
+    """
+    init_cache, step = _apply_fns(model, variables)
+    b = memory.shape[0]
+    cache = init_cache(memory, max_len)
+    tokens = jnp.zeros((b, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
+    cur = jnp.full((b,), start_id, dtype=jnp.int32)
+    finished = jnp.zeros((b,), dtype=bool)
+
+    def cond(state):
+        idx, _, _, _, finished = state
+        return (idx < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        idx, tokens, cache, cur, finished = state
+        logits, cache = step(cur, cache, idx)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = tokens.at[:, idx + 1].set(nxt)
+        finished = finished | (nxt == end_id)
+        return idx + 1, tokens, cache, nxt, finished
+
+    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens, cache, cur, finished))
+    return tokens
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "start_id", "end_id", "pad_id", "max_len", "temperature")
+)
+def sample_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+    max_len: int = 50,
+    temperature: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multinomial sampling rollout for SCST (scst_loss.py:202-254 equivalent).
+
+    Returns ``(tokens [B, max_len], log_probs [B, max_len])`` where ``log_probs[:, t]``
+    is the f32 log-probability of the token WRITTEN at position t (0 at position 0
+    and at positions after a row finished — the reference's finished-mask zeroing).
+    Post-finish tokens are forced to <pad>.
+    """
+    init_cache, step = _apply_fns(model, variables)
+    b = memory.shape[0]
+    cache = init_cache(memory, max_len)
+    tokens = jnp.zeros((b, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
+    logps = jnp.zeros((b, max_len), dtype=jnp.float32)
+    cur = jnp.full((b,), start_id, dtype=jnp.int32)
+    finished = jnp.zeros((b,), dtype=bool)
+
+    def cond(state):
+        idx = state[0]
+        finished = state[-1]
+        return (idx < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        idx, rng, tokens, logps, cache, cur, finished = state
+        rng, key = jax.random.split(rng)
+        logits, cache = step(cur, cache, idx)
+        scaled = logits / temperature
+        nxt = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(scaled, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(finished, pad_id, nxt)
+        tok_logp = jnp.where(finished, 0.0, tok_logp)
+        tokens = tokens.at[:, idx + 1].set(nxt)
+        logps = logps.at[:, idx + 1].set(tok_logp)
+        finished = finished | (nxt == end_id)
+        return idx + 1, rng, tokens, logps, cache, nxt, finished
+
+    _, _, tokens, logps, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rng, tokens, logps, cache, cur, finished)
+    )
+    return tokens, logps
+
+
+def _gather_beams(tree, beam_idx: jnp.ndarray, batch: int, k: int):
+    """Reorder the [B*K, ...] leading axis of every leaf by per-batch beam index."""
+
+    def gather(leaf):
+        leaf = leaf.reshape(batch, k, *leaf.shape[1:])
+        out = jnp.take_along_axis(
+            leaf, beam_idx.reshape(batch, k, *([1] * (leaf.ndim - 2))), axis=1
+        )
+        return out.reshape(batch * k, *leaf.shape[2:])
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def _gather_cache(cache, beam_idx: jnp.ndarray, batch: int, k: int):
+    """Reorder only the self-attn KV by parent beam; cross K/V are identical across
+    beams of one image (memory was jnp.repeat-ed), so reordering them is a no-op —
+    skip the gather to save HBM bandwidth."""
+    return {
+        name: {"self": _gather_beams(layer["self"], beam_idx, batch, k), "cross_kv": layer["cross_kv"]}
+        for name, layer in cache.items()
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "start_id", "end_id", "max_len", "beam_size", "stop_when_harvested"),
+)
+def beam_search_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+    beam_size: int = 5,
+    stop_when_harvested: bool = False,  # grid stop rule (grid:308); vit uses False
+) -> jnp.ndarray:
+    """Batched beam search (no per-image Python recursion). Returns [B, max_len]."""
+    init_cache, step = _apply_fns(model, variables)
+    b, k = memory.shape[0], beam_size
+    # Expand memory to [B*K, S, d] with beams contiguous per batch element.
+    mem = jnp.repeat(memory, k, axis=0)
+    cache = init_cache(mem, max_len)
+
+    seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32).at[:, :, 0].set(start_id)
+    # Step-0 trick (vit:370-378): only beam 0 is live so every beam doesn't pick the
+    # same token; implemented by initializing all but beam 0 to -inf.
+    live_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
+    # Harvested (completed) pool: up to K per batch element.
+    done_seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32)
+    done_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32)
+    done_count = jnp.zeros((b,), dtype=jnp.int32)
+    cur = jnp.full((b * k,), start_id, dtype=jnp.int32)
+
+    def cond(state):
+        idx, _, live_scores, _, _, done_count, _, _ = state
+        alive = jnp.any(live_scores > _NEG_INF / 2, axis=1)
+        if stop_when_harvested:
+            alive = alive & (done_count < k)
+        return (idx < max_len - 1) & jnp.any(alive)
+
+    def body(state):
+        idx, seqs, live_scores, done_seqs, done_scores, done_count, cache, cur = state
+        logits, cache = step(cur, cache, idx)  # [B*K, Vp]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, -1)
+        vp = logp.shape[-1]
+        cand = live_scores[:, :, None] + logp  # dead beams stay at -inf
+        flat = cand.reshape(b, k * vp)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K]
+        beam_idx = top_idx // vp
+        word_idx = (top_idx % vp).astype(jnp.int32)
+
+        # Reorder sequences and caches by winning parent beam, append the word.
+        seqs = jnp.take_along_axis(seqs, beam_idx[:, :, None], axis=1)
+        seqs = seqs.at[:, :, idx + 1].set(word_idx)
+        cache = _gather_cache(cache, beam_idx, b, k)
+
+        # Harvest candidates that just emitted <end>.
+        newly_done = (word_idx == end_id) & (top_scores > _NEG_INF / 2)
+        # Insert each newly-done beam into the done pool at slot done_count + rank.
+        rank = jnp.cumsum(newly_done.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(newly_done, done_count[:, None] + rank, k)  # k = overflow/drop
+        slot = jnp.clip(slot, 0, k)  # slots >= k are dropped below
+        in_range = newly_done & (slot < k)
+        done_scores = jax.vmap(
+            lambda ds, s, sc, m: ds.at[jnp.where(m, s, k)].set(jnp.where(m, sc, _NEG_INF), mode="drop")
+        )(done_scores, slot, top_scores, in_range)
+        done_seqs = jax.vmap(
+            lambda dq, s, sq, m: dq.at[jnp.where(m, s, k)].set(
+                jnp.where(m[:, None], sq, 0), mode="drop"
+            )
+        )(done_seqs, slot, seqs, in_range)
+        done_count = jnp.minimum(done_count + jnp.sum(newly_done, axis=1), k)
+
+        # Finished beams leave the live set (score -> -inf), shrinking it like the
+        # reference's keep_mask re-slice.
+        live_scores = jnp.where(newly_done, _NEG_INF, top_scores)
+        cur = word_idx.reshape(b * k)
+        return idx + 1, seqs, live_scores, done_seqs, done_scores, done_count, cache, cur
+
+    state = (jnp.int32(0), seqs, live_scores, done_seqs, done_scores, done_count, cache, cur)
+    _, seqs, live_scores, done_seqs, done_scores, done_count, _, _ = jax.lax.while_loop(cond, body, state)
+
+    # Best completed if any, else best live (vit:415-420).
+    have_done = done_count > 0
+    best_done = jnp.argmax(done_scores, axis=1)
+    best_live = jnp.argmax(live_scores, axis=1)
+    pick = jnp.where(have_done, best_done, best_live)
+    src = jnp.where(have_done[:, None, None], done_seqs, seqs)
+    return jnp.take_along_axis(src, pick[:, None, None], axis=1)[:, 0]
+
+
+def generate(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+    method: str = "greedy",
+    beam_size: int = 5,
+    stop_when_harvested: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Reference ``model.generate`` surface (vit:276-294)."""
+    if method == "greedy":
+        return greedy_decode(model, variables, memory, start_id=start_id, end_id=end_id, max_len=max_len)
+    if method == "beam_search":
+        return beam_search_decode(
+            model,
+            variables,
+            memory,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            beam_size=beam_size,
+            stop_when_harvested=stop_when_harvested,
+        )
+    if method == "sample":
+        if rng is None:
+            raise ValueError("method='sample' requires rng")
+        return sample_decode(
+            model, variables, memory, rng, start_id=start_id, end_id=end_id, max_len=max_len
+        )[0]
+    raise ValueError(f"Unknown generation method: {method}")

@@ -1,0 +1,78 @@
+"""Multi-head attention op with a Pallas TPU fast path.
+
+One signature serves every attention in the framework (ViT encoder self-attn, grid
+Transformer-encoder self-attn, decoder causal self-attn, decoder cross-attn):
+
+    mha_attention(q, k, v, *, causal=False, kv_padding_mask=None)
+
+Shapes are [B, T, H, Dh] (q) / [B, S, H, Dh] (k, v); output [B, T, H, Dh].
+Softmax runs in float32 regardless of input dtype (bf16-safe), matching the
+f32-logits policy used for decode parity.
+
+On TPU the fused Pallas kernel (ops/flash_attention.py) computes the whole
+QK^T -> softmax -> V block in VMEM — one HBM round-trip instead of three.  The
+jnp path below is the reference semantics and the CPU/test fallback; both paths
+are numerically interchangeable (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows NaN-free
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("ICT_DISABLE_PALLAS", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def mha_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = masked (torch convention)
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, T/S, H, Dh] tensors."""
+    if _use_pallas():
+        try:
+            from image_caption_tpu.ops.flash_attention import flash_mha
+
+            return flash_mha(q, k, v, causal=causal, kv_padding_mask=kv_padding_mask)
+        except Exception:
+            pass  # fall through to the XLA path rather than fail the step
+    return mha_reference(q, k, v, causal=causal, kv_padding_mask=kv_padding_mask)
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """XLA attention: einsum QK^T -> f32 softmax -> einsum V."""
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((t, s), dtype=bool), k=s - t)
+        logits = jnp.where(causal_mask[None, None], logits, _NEG_INF)
+    if kv_padding_mask is not None:
+        logits = jnp.where(kv_padding_mask[:, None, None, :], _NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
