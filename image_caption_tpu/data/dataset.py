@@ -34,13 +34,17 @@ from image_caption_tpu.data.vocab import Vocab
 CANVAS = 256
 
 
-def _load_image_canvas(path: str, canvas: int = CANVAS) -> np.ndarray:
+def _load_image_canvas(path: str, canvas: int = CANVAS, strict: bool = False) -> np.ndarray:
     """JPEG -> uint8 [canvas, canvas, 3]: resize shorter side to canvas, center-crop.
 
     Equivalent to torchvision ``Resize(256)`` followed by any center/random crop
     <= 256 (the crop itself happens on device).  Falls back to a deterministic
-    synthetic image keyed by the path hash when the file is missing.
+    synthetic image keyed by the path hash when the file is missing — loader-only
+    behavior; pass ``strict=True`` (inference does) to raise instead, so a
+    typo'd path errors rather than silently captioning noise.
     """
+    if strict and not os.path.exists(path):
+        raise FileNotFoundError(path)
     try:
         from PIL import Image
 

@@ -109,8 +109,21 @@ class CaptioningModel(nn.Module):
 class ViTCaptioningModel(CaptioningModel):
     """ViT-B/16 + Transformer decoder (vit_transformer_model.py:185)."""
 
+    vit_hidden: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_mlp: int = 3072
+
     def make_encoder(self) -> nn.Module:
-        return VisionTransformerEncoder(d_model=self.d_model, policy=self.policy, name="encoder")
+        return VisionTransformerEncoder(
+            d_model=self.d_model,
+            vit_hidden=self.vit_hidden,
+            vit_layers=self.vit_layers,
+            vit_heads=self.vit_heads,
+            vit_mlp=self.vit_mlp,
+            policy=self.policy,
+            name="encoder",
+        )
 
     def encode(self, images, deterministic: bool = True, train_backbone: bool = False):
         del train_backbone  # ViT has no BN; freezing is an optimizer concern
@@ -122,6 +135,7 @@ class GridCaptioningModel(CaptioningModel):
 
     num_encoder_layers: int = 6
     length_adjust: int = -1
+    resnet_stages: tuple = (3, 4, 23, 3)
 
     def make_encoder(self) -> nn.Module:
         return GridFeatureEncoder(
@@ -130,6 +144,7 @@ class GridCaptioningModel(CaptioningModel):
             num_encoder_layers=self.num_encoder_layers,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout,
+            resnet_stages=self.resnet_stages,
             policy=self.policy,
             name="encoder",
         )

@@ -25,10 +25,23 @@ from image_caption_tpu.models.vit import ViT
 class VisionTransformerEncoder(nn.Module):
     d_model: int = 512
     dropout: float = 0.0  # torchvision vit_b_16 default has dropout 0.0
+    # ViT-B/16 by default; smaller values for smoke tests.
+    vit_hidden: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_mlp: int = 3072
     policy: DTypePolicy = POLICY
 
     def setup(self):
-        self.vit = ViT(policy=self.policy, dropout=self.dropout, name="vit")
+        self.vit = ViT(
+            hidden_dim=self.vit_hidden,
+            num_layers=self.vit_layers,
+            nhead=self.vit_heads,
+            mlp_dim=self.vit_mlp,
+            policy=self.policy,
+            dropout=self.dropout,
+            name="vit",
+        )
         self.projection = nn.Dense(
             self.d_model, name="projection", param_dtype=self.policy.param_dtype, dtype=self.policy.compute_dtype
         )
@@ -46,10 +59,11 @@ class GridFeatureEncoder(nn.Module):
     num_encoder_layers: int = 6
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    resnet_stages: tuple = (3, 4, 23, 3)  # resnet101; smaller for smoke tests
     policy: DTypePolicy = POLICY
 
     def setup(self):
-        self.cnn = ResNet(policy=self.policy, name="cnn")
+        self.cnn = ResNet(stage_sizes=self.resnet_stages, policy=self.policy, name="cnn")
         self.projection = nn.Conv(
             self.d_model,
             (1, 1),

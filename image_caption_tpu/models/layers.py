@@ -67,7 +67,6 @@ class SelfAttention(nn.Module):
     def setup(self):
         self.qkv = _dense(3 * self.d_model, "qkv", self.policy)
         self.out = _dense(self.d_model, "out", self.policy)
-        self.drop = nn.Dropout(self.dropout)
 
     def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
@@ -86,8 +85,10 @@ class SelfAttention(nn.Module):
         o = mha_attention(
             self._heads(q), self._heads(k), self._heads(v), causal=causal, kv_padding_mask=key_padding_mask
         )
-        o = self.out(o.reshape(x.shape))
-        return self.drop(o, deterministic=deterministic)
+        del deterministic  # residual dropout is the enclosing layer's job (torch
+        # dropout1/2/3); attention-prob dropout is intentionally not implemented —
+        # fused kernels don't materialize probs (documented divergence, train-only)
+        return self.out(o.reshape(x.shape))
 
     def init_cache(self, batch: int, max_len: int) -> Dict[str, jnp.ndarray]:
         dh = self.d_model // self.nhead
@@ -128,7 +129,6 @@ class CrossAttention(nn.Module):
         self.q_proj = _dense(self.d_model, "q_proj", self.policy)
         self.kv_proj = _dense(2 * self.d_model, "kv_proj", self.policy)
         self.out = _dense(self.d_model, "out", self.policy)
-        self.drop = nn.Dropout(self.dropout)
 
     def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
@@ -151,9 +151,9 @@ class CrossAttention(nn.Module):
         if memory_kv is None:
             memory_kv = self.memory_kv(memory)
         q = self._heads(self.q_proj(x))
+        del deterministic  # see SelfAttention.__call__
         o = mha_attention(q, memory_kv["k"], memory_kv["v"], causal=False, kv_padding_mask=key_padding_mask)
-        o = self.out(o.reshape(x.shape))
-        return self.drop(o, deterministic=deterministic)
+        return self.out(o.reshape(x.shape))
 
 
 class FeedForward(nn.Module):

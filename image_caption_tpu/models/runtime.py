@@ -32,9 +32,19 @@ def build_module(vocab_size: int, config: Dict[str, Any]):
         max_len=config.get("max_len", 100),
     )
     if model_type == "vit_transformer":
-        return ViTCaptioningModel(**common)
+        return ViTCaptioningModel(
+            vit_hidden=config.get("vit_hidden", 768),
+            vit_layers=config.get("vit_layers", 12),
+            vit_heads=config.get("vit_heads", 12),
+            vit_mlp=config.get("vit_mlp", 3072),
+            **common,
+        )
     if model_type == "grid_transformer":
-        return GridCaptioningModel(num_encoder_layers=config.get("num_encoder_layers", 6), **common)
+        return GridCaptioningModel(
+            num_encoder_layers=config.get("num_encoder_layers", 6),
+            resnet_stages=tuple(config.get("resnet_stages", (3, 4, 23, 3))),
+            **common,
+        )
     raise ValueError(f"unknown model_type {model_type!r}")
 
 

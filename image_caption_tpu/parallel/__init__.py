@@ -1,0 +1,7 @@
+from image_caption_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    param_shardings,
+)

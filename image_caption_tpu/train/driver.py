@@ -1,0 +1,427 @@
+"""Training drivers — the reference's six ``train_*`` scripts as one engine.
+
+Regimes (SURVEY §2.6):
+- ``fit(config, regime='base')``      = train_vit/grid_transformer.py:
+  Adam (vit: β=(0.9,0.98) eps 1e-9), CE loss, clip 5.0, ReduceLROnPlateau(max,
+  0.5, patience 3) on val CIDEr stepped per epoch, backbone unfreeze at
+  ``unfreeze_epoch`` with a fresh optimizer and backbone-lr x factor, best-by-
+  CIDEr + periodic checkpoints, metric plots, final test-set eval.
+- ``fit(config, regime='optimized')`` = train_*_optimized.py:
+  label smoothing, AdamW wd, per-step warmup-cosine, EMA per step with shadow
+  applied around eval/ckpt, optional R-Drop, grad accumulation
+  (optax.MultiSteps), strong augmentation, early stopping on CIDEr.
+- ``fit_scst(config)``                = train_*_scst_optimized.py:
+  loads the XE checkpoint, SCST with CIDEr reward and greedy baseline, AdamW
+  lr 5e-6, accum 2, EMA 0.9999, warmup-cosine by ratio, early stop patience 8,
+  generate-only validation.
+
+``smoke`` caps steps/batches per phase so every driver runs end-to-end in
+seconds on CPU (the repo's verification path); `None` = full run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from image_caption_tpu.data.dataset import create_data_loaders
+from image_caption_tpu.data.vocab import Vocab
+from image_caption_tpu.decode import engine
+from image_caption_tpu.eval.evaluator import COCOScoreEvaluator
+from image_caption_tpu.models.captioner import GridCaptioningModel
+from image_caption_tpu.models.runtime import build_module
+from image_caption_tpu.train import steps as S
+from image_caption_tpu.train.optim import (
+    EMA,
+    EarlyStopping,
+    label_params_by_prefix,
+    make_optimizer,
+    set_learning_rate,
+)
+from image_caption_tpu.train.schedules import ReduceLROnPlateau, warmup_cosine_schedule
+from image_caption_tpu.train.scst import get_reference_captions, make_reward
+from image_caption_tpu.utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from image_caption_tpu.utils.logging import (
+    AverageMeter,
+    Logger,
+    MetricsHistory,
+    ThroughputMeter,
+)
+
+
+def _frozen_prefix(config) -> str:
+    return "encoder/cnn" if config.get("model_type") == "grid_transformer" else "encoder/vit"
+
+
+def _build(config, vocab):
+    module = build_module(len(vocab), config)
+    rng = jax.random.PRNGKey(config.get("seed", 42))
+    variables = module.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
+    )
+    if config.get("pretrained_vit", False) or config.get("pretrained_cnn", False):
+        try:
+            from image_caption_tpu.utils.port_torch import load_pretrained_backbone_into
+
+            variables = load_pretrained_backbone_into(module, variables)
+            print("loaded pretrained backbone weights")
+        except Exception as e:
+            print(f"note: pretrained backbone unavailable ({type(e).__name__}: {e}); random init")
+    return module, variables
+
+
+def validate(
+    module,
+    variables,
+    loader,
+    vocab: Vocab,
+    eval_step,
+    *,
+    max_len: int = 52,
+    max_batches: Optional[int] = None,
+    include_loss: bool = True,
+    evaluator: Optional[COCOScoreEvaluator] = None,
+) -> Dict[str, float]:
+    """Per-epoch validation: teacher-forced loss + greedy decode + COCO metrics
+    (reference validate, train_vit_transformer.py:194-272)."""
+    evaluator = evaluator or COCOScoreEvaluator()
+    loss_meter = AverageMeter()
+    gts: Dict[int, Any] = {}
+    res: Dict[int, Any] = {}
+    img_id = 0
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss, memory = eval_step(variables, jb)
+        if include_loss:
+            loss_meter.update(float(loss), n=len(batch["length"]))
+        tokens = np.asarray(
+            engine.greedy_decode(
+                module, variables, memory,
+                start_id=vocab.start_id, end_id=vocab.end_id, max_len=max_len,
+            )
+        )
+        for row, ref_row in zip(tokens, batch["caption"]):
+            res[img_id] = [vocab.decode_to_text(row)]
+            gts[img_id] = [vocab.decode_to_text(ref_row)]
+            img_id += 1
+    scores = evaluator.evaluate(gts, res)
+    if include_loss:
+        scores["loss"] = loss_meter.avg
+    return scores
+
+
+def _variables_of(state: S.TrainState, ema: Optional[EMA]) -> Dict:
+    params = state.params
+    if ema is not None and state.ema is not None:
+        params = ema.apply_shadow(state.ema, state.params)
+    return {"params": params, "batch_stats": state.batch_stats}
+
+
+def _save(path, state, ema, config, epoch, scores, best_cider):
+    payload = {
+        "step": int(state.step),
+        "epoch": epoch,
+        "params": _variables_of(state, ema)["params"],  # EMA baked in, like the ref
+        "raw_params": state.params,
+        "batch_stats": state.batch_stats,
+        "best_cider": float(best_cider),
+        "scores": {k: float(v) for k, v in scores.items()},
+        "config": {k: v for k, v in config.items() if isinstance(v, (int, float, str, bool, list, tuple, type(None)))},
+    }
+    save_checkpoint(path, payload)
+
+
+def fit(config: Dict[str, Any], regime: str = "base", smoke: Optional[int] = None) -> Dict[str, float]:
+    """XE training (base or optimized regime). Returns final test scores."""
+    assert regime in ("base", "optimized")
+    t_start = time.time()
+    vocab = Vocab.load(config["vocab_path"])
+    train_loader, val_loader, test_loader = create_data_loaders(
+        data_dir=config.get("data_dir", "data"),
+        vocab_path=config["vocab_path"],
+        batch_size=config.get("batch_size", 32),
+        max_len=config.get("max_len", 52) - 2,
+        seed=config.get("seed", 42),
+        drop_last_train=(regime == "optimized"),
+    )
+    module, variables = _build(config, vocab)
+    frozen = _frozen_prefix(config)
+    pad_id = vocab.pad_id
+    num_epochs = config.get("num_epochs", 30)
+    steps_per_epoch = smoke or len(train_loader)
+    ckpt_dir = config.get("checkpoint_dir", "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = Logger(config.get("log_dir"), config.get("use_tensorboard", False))
+
+    # -- optimizer ----------------------------------------------------------
+    def make_tx(unfrozen: bool):
+        labels = label_params_by_prefix(
+            variables["params"], {frozen: ("encoder" if unfrozen else "frozen")}
+        )
+        factor_key = "cnn_lr_factor" if config.get("model_type") == "grid_transformer" else "encoder_lr_factor"
+        if regime == "base":
+            is_vit = config.get("model_type", "vit_transformer") == "vit_transformer"
+            return make_optimizer(
+                config.get("learning_rate", 1e-4),
+                kind="adam",
+                b1=0.9, b2=0.98 if is_vit else 0.999, eps=1e-9 if is_vit else 1e-8,
+                clip_norm=config.get("grad_clip", 5.0),
+                param_labels=labels,
+                lr_factors={"encoder": config.get(factor_key, 0.1)},
+                inject_lr=True,
+            )
+        total = num_epochs * max(steps_per_epoch // config.get("accumulation_steps", 1), 1)
+        sched = warmup_cosine_schedule(
+            config.get("learning_rate", 3e-4),
+            config.get("warmup_steps", 2000),
+            total,
+            config.get("min_lr", 1e-6),
+        )
+        tx = make_optimizer(
+            sched,
+            kind="adamw",
+            weight_decay=config.get("weight_decay", 0.01),
+            clip_norm=config.get("grad_clip", 1.0),
+            param_labels=labels,
+            lr_factors={"encoder": config.get(factor_key, 0.1)},
+        )
+        accum = config.get("accumulation_steps", 1)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    use_ema = regime == "optimized" and config.get("use_ema", True)
+    ema = EMA(config.get("ema_decay", 0.999)) if use_ema else None
+    # EMA registers only currently-trainable params (reference quirk,
+    # optimizations.py:432-436): the frozen backbone never enters the shadow.
+    ema_mask = None
+    if ema is not None:
+        ema_mask = jax.tree_util.tree_map(
+            lambda lab: lab != "frozen",
+            label_params_by_prefix(variables["params"], {frozen: "frozen"}),
+        )
+
+    tx = make_tx(unfrozen=False)
+    state = S.create_train_state(variables, tx, ema=ema, ema_mask=ema_mask)
+
+    loss_kind = "label_smoothing" if regime == "optimized" else "ce"
+    augment = "strong" if (regime == "optimized" and config.get("use_augmentation", True)) else "baseline"
+    step_fn = S.make_train_step(
+        module, tx,
+        loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id,
+        r_drop_alpha=config.get("r_drop_alpha", 0.0) if config.get("use_r_drop") else 0.0,
+        augment=augment, train_backbone=False, ema=ema,
+    )
+    eval_step = S.make_eval_step(module, loss_kind="ce", pad_id=pad_id)
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=3) if regime == "base" else None
+    early = (
+        EarlyStopping(config.get("early_stopping_patience", 7)) if regime == "optimized" else None
+    )
+    history = MetricsHistory()
+    thru = ThroughputMeter()
+    best_cider = -1.0
+    unfreeze_epoch = config.get("unfreeze_epoch")
+    max_len = config.get("max_len", 52)
+    rng = jax.random.PRNGKey(config.get("seed", 42))
+    eval_batches = (max(1, smoke // 2) if smoke else None)
+
+    for epoch in range(1, num_epochs + 1):
+        # -- backbone unfreeze: fresh optimizer + BN-training step (reference
+        #    rebuilds Adam with param groups, train_vit_transformer.py:353-369)
+        if unfreeze_epoch and epoch == unfreeze_epoch:
+            print(f"epoch {epoch}: unfreezing backbone ({frozen}), fresh optimizer")
+            tx = make_tx(unfrozen=True)
+            train_backbone = isinstance(module, GridCaptioningModel)
+            step_fn = S.make_train_step(
+                module, tx,
+                loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id,
+                r_drop_alpha=config.get("r_drop_alpha", 0.0) if config.get("use_r_drop") else 0.0,
+                augment=augment, train_backbone=train_backbone, ema=ema,
+            )
+            state = state.replace(opt_state=tx.init(state.params))
+            if plateau is not None:
+                set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * plateau.scale)
+
+        train_meter = AverageMeter()
+        for bi, batch in enumerate(train_loader):
+            if bi >= steps_per_epoch:
+                break
+            rng, k = jax.random.split(rng)
+            jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            state, metrics = step_fn(state, jb, k)
+            train_meter.update(float(metrics["loss"]), n=len(batch["length"]))
+            thru.tick(len(batch["length"]))
+            gstep = int(state.step)
+            if gstep % 50 == 0:
+                logger.scalar("train/loss", float(metrics["loss"]), gstep)
+        print(
+            f"epoch {epoch}/{num_epochs} train loss {train_meter.avg:.4f} "
+            f"({thru.samples_per_sec:.1f} samples/s, p50 step {thru.p50_step_ms:.0f}ms)"
+        )
+
+        val_vars = _variables_of(state, ema)  # EMA shadow applied around eval
+        scores = validate(
+            module, val_vars, val_loader, vocab, eval_step,
+            max_len=max_len, max_batches=eval_batches,
+        )
+        print(f"  val: {scores}")
+        history.append(train_loss=train_meter.avg, **{k: v for k, v in scores.items()})
+        for k2, v in scores.items():
+            logger.scalar(f"Val/{k2}", v, epoch)
+
+        cider = scores.get("CIDEr", 0.0)
+        if plateau is not None:
+            scale = plateau.step(cider)
+            set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * scale)
+        if cider > best_cider:
+            best_cider = cider
+            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider)
+            print(f"  new best CIDEr {best_cider:.4f} -> best_model.ckpt")
+        if config.get("save_every") and epoch % config["save_every"] == 0:
+            _save(os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.ckpt"), state, ema, config, epoch, scores, best_cider)
+        if early is not None and early.step(cider):
+            print(f"early stopping at epoch {epoch} (best CIDEr {early.best:.4f})")
+            break
+
+    history.plot_and_save(ckpt_dir)
+    history.plot_combined(ckpt_dir)
+    history.save_json(os.path.join(ckpt_dir, "metrics_history.json"))
+
+    # -- final test eval from the best checkpoint (reference :457-477) -------
+    best = load_checkpoint(os.path.join(ckpt_dir, "best_model.ckpt"))
+    test_vars = {
+        "params": restore_into(state.params, best["params"]),
+        "batch_stats": restore_into(state.batch_stats, best["batch_stats"]) if best.get("batch_stats") else {},
+    }
+    test_scores = validate(
+        module, test_vars, test_loader, vocab, eval_step,
+        max_len=max_len, max_batches=eval_batches,
+    )
+    print(f"TEST: {test_scores} (total {time.time() - t_start:.0f}s)")
+    logger.close()
+    return test_scores
+
+
+def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, float]:
+    """SCST RL fine-tuning (train_*_scst_optimized.py)."""
+    t_start = time.time()
+    vocab = Vocab.load(config["vocab_path"])
+    train_loader, val_loader, test_loader = create_data_loaders(
+        data_dir=config.get("data_dir", "data"),
+        vocab_path=config["vocab_path"],
+        batch_size=config.get("batch_size", 16),
+        max_len=config.get("max_len", 52) - 2,
+        seed=config.get("seed", 42),
+    )
+    module, variables = _build(config, vocab)
+
+    # -- REQUIRED pretrained XE checkpoint (reference :388-394) --------------
+    pre = config.get("pretrained_checkpoint")
+    if pre and os.path.exists(pre):
+        if pre.endswith(".pth"):
+            from image_caption_tpu.utils.port_torch import load_reference_checkpoint
+
+            cap, _, _ = load_reference_checkpoint(pre)
+            variables = cap.variables
+            print(f"loaded reference torch checkpoint {pre}")
+        else:
+            ck = load_checkpoint(pre)
+            variables = {
+                "params": restore_into(variables["params"], ck["params"]),
+                "batch_stats": restore_into(variables.get("batch_stats", {}), ck.get("batch_stats", {}))
+                if ck.get("batch_stats") else variables.get("batch_stats", {}),
+            }
+            print(f"loaded XE checkpoint {pre} (CIDEr {ck.get('best_cider')})")
+    elif smoke is None:
+        raise FileNotFoundError(
+            f"SCST requires a pretrained XE checkpoint (got {pre!r}) — "
+            "run the XE training script first (reference behavior :388-394)"
+        )
+
+    pad_id, start_id, end_id = vocab.pad_id, vocab.start_id, vocab.end_id
+    num_epochs = config.get("num_epochs", 10)
+    steps_per_epoch = smoke or len(train_loader)
+    accum = config.get("accumulation_steps", 2)
+    total_steps = num_epochs * max(steps_per_epoch // accum, 1)
+    warmup = int(total_steps * config.get("warmup_ratio", 0.1))
+    sched = warmup_cosine_schedule(config.get("learning_rate", 5e-6), warmup, total_steps)
+    frozen = _frozen_prefix(config)
+    labels = label_params_by_prefix(variables["params"], {frozen: "frozen"})
+    tx = make_optimizer(
+        sched, kind="adamw", weight_decay=config.get("weight_decay", 0.01),
+        clip_norm=config.get("grad_clip", 1.0), param_labels=labels,
+    )
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    ema = EMA(config.get("ema_decay", 0.9999)) if config.get("use_ema", True) else None
+    ema_mask = jax.tree_util.tree_map(lambda lab: lab != "frozen", labels) if ema else None
+    state = S.create_train_state(variables, tx, ema=ema, ema_mask=ema_mask)
+
+    reward = make_reward(config.get("reward_type", "cider"), pad_id, start_id, end_id)
+    max_len = config.get("max_len", 52)
+    scst_step = S.make_scst_step(
+        module, tx, reward, pad_id=pad_id, start_id=start_id, end_id=end_id,
+        max_len=max_len, augment="baseline" if config.get("use_augmentation", True) else None,
+        ema=ema,
+    )
+    eval_step = S.make_eval_step(module, pad_id=pad_id)
+    early = EarlyStopping(config.get("early_stopping_patience", 8))
+    ckpt_dir = config.get("checkpoint_dir", "checkpoints_scst")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = Logger(config.get("log_dir"), config.get("use_tensorboard", False))
+    history = MetricsHistory()
+    best_cider = -1.0
+    rng = jax.random.PRNGKey(config.get("seed", 42))
+    eval_batches = (max(1, smoke // 2) if smoke else None)
+
+    for epoch in range(1, num_epochs + 1):
+        meters = {k: AverageMeter() for k in ("loss", "sample_reward", "greedy_reward", "advantage")}
+        for bi, batch in enumerate(train_loader):
+            if bi >= steps_per_epoch:
+                break
+            rng, k = jax.random.split(rng)
+            refs = get_reference_captions(batch["caption"], pad_id, start_id, end_id)
+            jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            state, metrics = scst_step(state, jb, refs, k)
+            for k2 in meters:
+                meters[k2].update(metrics[k2], n=len(batch["length"]))
+            gstep = int(state.step)
+            if gstep % 20 == 0:
+                for k2 in ("sample_reward", "greedy_reward", "advantage"):
+                    logger.scalar(f"train/{k2}", metrics[k2], gstep)
+        print(
+            f"epoch {epoch}/{num_epochs} "
+            + " ".join(f"{k}={m.avg:.4f}" for k, m in meters.items())
+        )
+        # generate-only validation (reference :296-365)
+        val_vars = _variables_of(state, ema)
+        scores = validate(
+            module, val_vars, val_loader, vocab, eval_step,
+            max_len=max_len, max_batches=eval_batches, include_loss=False,
+        )
+        print(f"  val: {scores}")
+        history.append(**{k: meters[k].avg for k in meters}, **scores)
+        cider = scores.get("CIDEr", 0.0)
+        if cider > best_cider:
+            best_cider = cider
+            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider)
+        if early.step(cider):
+            print(f"early stopping at epoch {epoch}")
+            break
+
+    history.plot_and_save(ckpt_dir, title="SCST Training")
+    history.plot_combined(ckpt_dir)
+    history.save_json(os.path.join(ckpt_dir, "metrics_history.json"))
+    print(f"SCST done in {time.time() - t_start:.0f}s, best CIDEr {best_cider:.4f}")
+    logger.close()
+    return {"best_cider": best_cider}

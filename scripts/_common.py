@@ -1,0 +1,67 @@
+"""Shared CLI plumbing for the training/inference scripts.
+
+Keeps the reference's config-dict surface (each script defines its dict at the
+bottom and passes it to a train function) while adding a few flags the reference
+lacked: ``--smoke`` (tiny end-to-end run), ``--data-dir``, ``--epochs``.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(description: str):
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data-dir", default=None, help="dataset dir containing *_data.json + vocab.json")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--smoke", nargs="?", const=2, default=None, type=int,
+        help="run N train steps/epoch with a tiny model (default 2) to exercise the full pipeline",
+    )
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return p.parse_args()
+
+
+def apply_args(config: dict, args) -> dict:
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.data_dir:
+        config["data_dir"] = args.data_dir
+        config["vocab_path"] = os.path.join(args.data_dir, "vocab.json")
+    if args.epochs:
+        config["num_epochs"] = args.epochs
+    if args.batch_size:
+        config["batch_size"] = args.batch_size
+    if args.checkpoint_dir:
+        config["checkpoint_dir"] = args.checkpoint_dir
+    if args.smoke is not None:
+        config.update(
+            num_epochs=min(config.get("num_epochs", 2), 2),
+            batch_size=4,
+            d_model=64,
+            nhead=4,
+            num_decoder_layers=2,
+            dim_feedforward=128,
+            warmup_steps=2,
+            pretrained_vit=False,
+            pretrained_cnn=False,
+        )
+        if config.get("model_type") == "grid_transformer":
+            config.update(num_encoder_layers=1, resnet_stages=(1, 1, 1, 1))
+        else:
+            config.update(vit_layers=2, vit_hidden=64, vit_heads=4, vit_mlp=128)
+    return config
+
+
+def print_config(config: dict):
+    print("=" * 60)
+    print("config:")
+    for k, v in sorted(config.items()):
+        print(f"  {k}: {v}")
+    print("=" * 60)

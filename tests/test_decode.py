@@ -1,0 +1,155 @@
+"""Decode engine: KV-cache exactness, greedy vs naive full-prefix, beam vs a
+straightforward reimplementation of the reference algorithm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_caption_tpu.core.dtypes import DTypePolicy
+from image_caption_tpu.decode import engine
+from image_caption_tpu.models.decoder import TransformerDecoder
+
+V, D, H, LAYERS, S = 23, 32, 4, 2, 6
+START, END = 20, 21
+F32 = DTypePolicy(compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def decoder_and_vars():
+    dec = TransformerDecoder(
+        vocab_size=V, d_model=D, nhead=H, num_layers=LAYERS, dim_feedforward=64,
+        dropout=0.0, max_len=40, policy=F32,
+    )
+    key = jax.random.PRNGKey(3)
+    mem = jax.random.normal(key, (4, S, D))
+    tgt = jax.random.randint(key, (4, 7), 0, V)
+    vars_ = dec.init({"params": key, "dropout": key}, tgt, mem)
+    return dec, vars_, mem
+
+
+def test_cache_step_equals_full_forward(decoder_and_vars):
+    dec, vars_, mem = decoder_and_vars
+    T = 7
+    tgt = jax.random.randint(jax.random.PRNGKey(5), (4, T), 0, V)
+    full = dec.apply(vars_, tgt, mem)
+    cache = dec.apply(vars_, mem, T, method=dec.init_cache)
+    outs = []
+    for i in range(T):
+        lg, cache = dec.apply(vars_, tgt[:, i], cache, jnp.int32(i), method=dec.step)
+        outs.append(lg[:, :V])
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), atol=1e-4)
+
+
+def _naive_greedy(dec, vars_, mem, max_len):
+    """Reference-style greedy: re-decode the full prefix each step (vit:296-325)."""
+    b = mem.shape[0]
+    gen = np.full((b, 1), START, dtype=np.int32)
+    for _ in range(max_len - 1):
+        logits = np.asarray(dec.apply(vars_, jnp.asarray(gen), mem))
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        gen = np.concatenate([gen, nxt[:, None]], axis=1)
+        if (nxt == END).all():
+            break
+    return gen
+
+
+def test_greedy_matches_naive(decoder_and_vars):
+    dec, vars_, mem = decoder_and_vars
+    max_len = 12
+    fast = np.asarray(
+        engine.greedy_decode(dec, vars_, mem, start_id=START, end_id=END, max_len=max_len)
+    )
+    naive = _naive_greedy(dec, vars_, mem, max_len)
+    # compare up to naive length; engine pads with 0 after global finish
+    L = naive.shape[1]
+    np.testing.assert_array_equal(fast[:, :L], naive)
+
+
+def _naive_beam(dec, vars_, mem_row, max_len, beam_size, stop_when_harvested):
+    """Reference beam semantics (vit:327-420), list-based, batch of 1."""
+    mem = jnp.repeat(mem_row[None], beam_size, axis=0)
+    sequences = np.full((beam_size, 1), START, dtype=np.int32)
+    scores = np.zeros(beam_size)
+    completed, completed_scores = [], []
+    k = beam_size
+    for step in range(max_len - 1):
+        logits = np.asarray(dec.apply(vars_, jnp.asarray(sequences), mem[:k]))[:, -1]
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True) * 0
+        # proper log_softmax:
+        m = logits.max(-1, keepdims=True)
+        logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+        if step == 0:
+            s = logp[0]
+            top_idx = np.argsort(-s)[:k]
+            sequences = np.concatenate(
+                [np.repeat(sequences[0:1], k, 0), top_idx[:, None].astype(np.int32)], axis=1
+            )
+            scores = s[top_idx]
+        else:
+            cand = (scores[:, None] + logp).reshape(-1)
+            top = np.argsort(-cand)[:k]
+            beam_idx, word_idx = top // V, top % V
+            sequences = np.concatenate(
+                [sequences[beam_idx], word_idx[:, None].astype(np.int32)], axis=1
+            )
+            scores = cand[top]
+        end_mask = sequences[:, -1] == END
+        if end_mask.any():
+            for idx in np.nonzero(end_mask)[0]:
+                completed.append(sequences[idx])
+                completed_scores.append(scores[idx])
+            if end_mask.all():
+                break
+            keep = ~end_mask
+            sequences, scores = sequences[keep], scores[keep]
+            k = len(sequences)
+        if stop_when_harvested and len(completed) >= beam_size:
+            break
+    if completed:
+        return completed[int(np.argmax(completed_scores))]
+    return sequences[int(np.argmax(scores))]
+
+
+@pytest.mark.parametrize("stop_when_harvested", [False, True])
+def test_beam_matches_reference_algorithm(decoder_and_vars, stop_when_harvested):
+    dec, vars_, mem = decoder_and_vars
+    max_len, k = 10, 3
+    fast = np.asarray(
+        engine.beam_search_decode(
+            dec, vars_, mem, start_id=START, end_id=END, max_len=max_len, beam_size=k,
+            stop_when_harvested=stop_when_harvested,
+        )
+    )
+    for b in range(mem.shape[0]):
+        naive = _naive_beam(dec, vars_, mem[b], max_len, k, stop_when_harvested)
+        got = fast[b][: len(naive)]
+        np.testing.assert_array_equal(got, naive)
+
+
+def test_sample_logprobs_consistent(decoder_and_vars):
+    dec, vars_, mem = decoder_and_vars
+    toks, logps = engine.sample_decode(
+        dec, vars_, mem, jax.random.PRNGKey(0), start_id=START, end_id=END, max_len=10
+    )
+    toks, logps = np.asarray(toks), np.asarray(logps)
+    assert toks.shape == logps.shape
+    assert (logps <= 1e-6).all()
+    assert logps[:, 0].sum() == 0.0  # start position carries no log-prob
+    # verify a recorded log-prob against the teacher-forced forward
+    full = np.asarray(dec.apply(vars_, jnp.asarray(toks), mem))
+    logp_full = full - full.max(-1, keepdims=True)
+    logp_full = logp_full - np.log(np.exp(logp_full).sum(-1, keepdims=True))
+    for b in range(toks.shape[0]):
+        for t in range(1, 5):
+            if logps[b, t] == 0.0:
+                continue
+            expect = logp_full[b, t - 1, toks[b, t]]
+            assert abs(logps[b, t] - expect) < 1e-4
+
+
+def test_sequence_lengths():
+    toks = jnp.asarray([[START, 1, 2, END, 0, 0], [START, 1, 2, 3, 4, 5]])
+    lens = np.asarray(engine.sequence_lengths(toks, END))
+    np.testing.assert_array_equal(lens, [4, 6])

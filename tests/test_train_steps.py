@@ -1,0 +1,153 @@
+"""Train steps: XE (all variants), SCST, EMA, checkpoint roundtrip — on a tiny
+grid model end-to-end (synthetic batch -> augment -> forward/backward -> update)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_caption_tpu.models.runtime import build_module
+from image_caption_tpu.train import steps as S
+from image_caption_tpu.train.optim import EMA, label_params_by_prefix, make_optimizer
+from image_caption_tpu.train.scst import get_reference_captions, make_reward
+from image_caption_tpu.train.schedules import warmup_cosine_schedule
+
+VOCAB, PAD, START, END = 23, 0, 20, 21
+
+
+def tiny_module():
+    cfg = dict(
+        model_type="grid_transformer", d_model=32, nhead=4, num_decoder_layers=2,
+        num_encoder_layers=1, dim_feedforward=64, dropout=0.1, max_len=60,
+        resnet_stages=(1, 1, 1, 1),
+    )
+    return build_module(VOCAB, cfg), cfg
+
+
+def tiny_batch(rng, b=4, L=12):
+    cap = rng.integers(1, VOCAB - 3, size=(b, L)).astype(np.int32)
+    cap[:, 0] = START
+    lens = rng.integers(5, L, size=(b,)).astype(np.int32)
+    for i, l in enumerate(lens):
+        cap[i, l - 1] = END
+        cap[i, l:] = PAD
+    return {
+        "image": rng.integers(0, 255, size=(b, 256, 256, 3)).astype(np.uint8),
+        "caption": cap,
+        "length": lens,
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    module, cfg = tiny_module()
+    key = jax.random.PRNGKey(0)
+    variables = module.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+    )
+    return module, variables
+
+
+def test_xe_train_step_learns(setup):
+    module, variables = setup
+    labels = label_params_by_prefix(variables["params"], {"encoder": "frozen"})
+    tx = make_optimizer(1e-3, kind="adam", b1=0.9, b2=0.98, eps=1e-9, clip_norm=5.0, param_labels=labels)
+    ema = EMA(0.99)
+    step_fn = S.make_train_step(module, tx, loss_kind="ce", pad_id=PAD, augment="baseline", ema=ema)
+    state = S.create_train_state(variables, tx, ema=ema)
+    rng = np.random.default_rng(0)
+    batch = tiny_batch(rng)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    p0 = state.params
+    for i in range(8):
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, {k2: jnp.asarray(v) for k2, v in batch.items()}, k)
+        losses.append(float(metrics["loss"]))
+    # same batch 8x -> loss must drop
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    # frozen encoder unchanged, decoder changed
+    enc0 = jax.tree_util.tree_leaves(p0["encoder"]["cnn"])[0]
+    enc1 = jax.tree_util.tree_leaves(state.params["encoder"]["cnn"])[0]
+    np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
+    dec0 = jax.tree_util.tree_leaves(p0["decoder"])[0]
+    dec1 = jax.tree_util.tree_leaves(state.params["decoder"])[0]
+    assert not np.array_equal(np.asarray(dec0), np.asarray(dec1))
+    # EMA shadow differs from both init and current (it trails)
+    assert state.ema is not None
+
+
+def test_optimized_step_variants(setup):
+    module, variables = setup
+    sched = warmup_cosine_schedule(3e-4, 10, 100)
+    tx = make_optimizer(sched, kind="adamw", weight_decay=0.01, clip_norm=1.0)
+    step_fn = S.make_train_step(
+        module, tx, loss_kind="label_smoothing", smoothing=0.1, pad_id=PAD,
+        r_drop_alpha=0.5, augment="strong",
+    )
+    state = S.create_train_state(variables, tx)
+    batch = tiny_batch(np.random.default_rng(1))
+    state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(0))
+    assert np.isfinite(metrics["loss"])
+    assert "r_drop_kl" in metrics and float(metrics["r_drop_kl"]) >= 0
+
+
+def test_grad_accumulation_multisteps(setup):
+    import optax
+
+    module, variables = setup
+    tx = optax.MultiSteps(make_optimizer(1e-3), every_k_schedule=2)
+    step_fn = S.make_train_step(module, tx, loss_kind="ce", pad_id=PAD, augment=None)
+    state = S.create_train_state(variables, tx)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(np.random.default_rng(2)).items()}
+    p0 = jax.tree_util.tree_leaves(state.params["decoder"])[0].copy()
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_leaves(state.params["decoder"])[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # accumulating, no update yet
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    p2 = jax.tree_util.tree_leaves(state.params["decoder"])[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))  # 2nd micro-step applies
+
+
+def test_scst_step(setup):
+    module, variables = setup
+    tx = make_optimizer(5e-6, kind="adamw", weight_decay=0.01, clip_norm=1.0)
+    reward = make_reward("cider", PAD, START, END)
+    step_fn = S.make_scst_step(
+        module, tx, reward, pad_id=PAD, start_id=START, end_id=END, max_len=14, augment=None
+    )
+    state = S.create_train_state(variables, tx)
+    batch = tiny_batch(np.random.default_rng(3))
+    refs = get_reference_captions(batch["caption"], PAD, START, END)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step_fn(state, jb, refs, jax.random.PRNGKey(0))
+    for k in ("loss", "sample_reward", "greedy_reward", "advantage", "grad_norm"):
+        assert np.isfinite(metrics[k]), (k, metrics)
+    assert int(state.step) == 1
+
+
+def test_eval_step_and_checkpoint_roundtrip(setup, tmp_path):
+    from image_caption_tpu.utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
+
+    module, variables = setup
+    eval_step = S.make_eval_step(module, pad_id=PAD)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(np.random.default_rng(4)).items()}
+    loss, memory = eval_step(variables, batch)
+    assert np.isfinite(float(loss))
+    assert memory.shape[1] == 49  # 7x7 grid tokens
+
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, {
+        "params": variables["params"], "batch_stats": variables.get("batch_stats", {}),
+        "epoch": 3, "best_cider": 1.23, "config": {"d_model": 32}, "step": 17,
+    })
+    loaded = load_checkpoint(path)
+    assert loaded["epoch"] == 3 and abs(loaded["best_cider"] - 1.23) < 1e-9
+    restored = restore_into(variables["params"], loaded["params"])
+    l0 = jax.tree_util.tree_leaves(variables["params"])
+    l1 = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(l0, l1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
