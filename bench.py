@@ -43,8 +43,11 @@ def main():
     def caption_batch(variables, images_u8):
         imgs = eval_preprocess(images_u8)
         memory = module.apply(variables, imgs, method=module.encode)
+        # end_id=-1 never matches, so the decode always runs the full max_len
+        # steps — worst-case honest throughput (random-init weights would
+        # otherwise emit <end> early and inflate the number).
         return engine.greedy_decode(
-            module, variables, memory, start_id=107, end_id=108, max_len=max_len
+            module, variables, memory, start_id=107, end_id=-1, max_len=max_len
         )
 
     # warmup / compile

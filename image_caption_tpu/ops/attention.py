@@ -27,6 +27,19 @@ _NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows NaN-
 
 
 def _use_pallas() -> bool:
+    """Dispatch policy — MEASURED, not assumed.
+
+    On v5e at this framework's shapes (B=64, S=197, H=12, Dh=64 ViT encoder),
+    the fused Pallas kernel measured 2.52ms vs 1.87ms for the XLA einsum path:
+    XLA already emits a fused attention here, and the kernel's layout
+    transposes + tile padding cost more than its HBM savings.  So the XLA path
+    is the default and Pallas is opt-in (ICT_USE_PALLAS=1) pending a
+    whole-layer fused kernel (projections + attention in one pallas_call) that
+    can actually win.  The kernel stays fully tested (tests/test_flash_attention
+    .py) and numerically interchangeable.
+    """
+    if os.environ.get("ICT_USE_PALLAS", "0") != "1":
+        return False
     if os.environ.get("ICT_DISABLE_PALLAS", "0") == "1":
         return False
     try:

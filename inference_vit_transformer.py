@@ -1,0 +1,13 @@
+"""Legacy flat-layout entry point (the reference keeps root-level copies of the
+scripts/ inference drivers, /root/reference/inference_vit_transformer.py) —
+delegates to scripts/inference_vit_transformer.py."""
+
+import os
+import runpy
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+runpy.run_path(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "inference_vit_transformer.py"),
+    run_name="__main__",
+)
