@@ -127,21 +127,58 @@ def _variables_of(state: S.TrainState, ema: Optional[EMA]) -> Dict:
 
 
 def _save(path, state, ema, config, epoch, scores, best_cider):
+    from flax import serialization as _ser
+
     payload = {
         "step": int(state.step),
         "epoch": epoch,
         "params": _variables_of(state, ema)["params"],  # EMA baked in, like the ref
         "raw_params": state.params,
         "batch_stats": state.batch_stats,
+        "opt_state": _ser.to_state_dict(state.opt_state),
         "best_cider": float(best_cider),
         "scores": {k: float(v) for k, v in scores.items()},
         "config": {k: v for k, v in config.items() if isinstance(v, (int, float, str, bool, list, tuple, type(None)))},
     }
+    if state.ema is not None:
+        payload["ema_shadow"] = state.ema.shadow
     save_checkpoint(path, payload)
 
 
-def fit(config: Dict[str, Any], regime: str = "base", smoke: Optional[int] = None) -> Dict[str, float]:
-    """XE training (base or optimized regime). Returns final test scores."""
+def _restore_state(state: S.TrainState, ck: Dict[str, Any], ema) -> S.TrainState:
+    """Deterministic resume: params (RAW, not EMA-baked), opt state, EMA shadow,
+    step counter."""
+    from flax import serialization as _ser
+
+    params = restore_into(state.params, ck.get("raw_params", ck["params"]))
+    new = state.replace(
+        step=jnp.asarray(ck.get("step", 0), dtype=jnp.int32),
+        params=params,
+    )
+    if ck.get("batch_stats") and state.batch_stats:
+        new = new.replace(batch_stats=restore_into(state.batch_stats, ck["batch_stats"]))
+    if ck.get("opt_state") is not None:
+        new = new.replace(opt_state=_ser.from_state_dict(state.opt_state, ck["opt_state"]))
+    if ema is not None and state.ema is not None and ck.get("ema_shadow") is not None:
+        new = new.replace(
+            ema=state.ema.replace(shadow=restore_into(state.ema.shadow, ck["ema_shadow"]))
+        )
+    return new
+
+
+def fit(
+    config: Dict[str, Any],
+    regime: str = "base",
+    smoke: Optional[int] = None,
+    resume_from: Optional[str] = None,
+) -> Dict[str, float]:
+    """XE training (base or optimized regime). Returns final test scores.
+
+    ``resume_from``: checkpoint path for deterministic mid-run resume (step
+    counter, optimizer state, EMA shadow and per-epoch shuffle seeds all
+    restored — an upgrade over the reference, which could only start SCST from
+    an XE checkpoint, SURVEY §5).
+    """
     assert regime in ("base", "optimized")
     t_start = time.time()
     vocab = Vocab.load(config["vocab_path"])
@@ -210,8 +247,19 @@ def fit(config: Dict[str, Any], regime: str = "base", smoke: Optional[int] = Non
             label_params_by_prefix(variables["params"], {frozen: "frozen"}),
         )
 
-    tx = make_tx(unfrozen=False)
+    start_epoch = 1
+    resume_ck = None
+    if resume_from:
+        resume_ck = load_checkpoint(resume_from)
+        start_epoch = int(resume_ck.get("epoch", 0)) + 1
+        print(f"resuming from {resume_from} at epoch {start_epoch} (step {resume_ck.get('step')})")
+
+    unfreeze_epoch_cfg = config.get("unfreeze_epoch")
+    start_unfrozen = bool(unfreeze_epoch_cfg and start_epoch > unfreeze_epoch_cfg)
+    tx = make_tx(unfrozen=start_unfrozen)
     state = S.create_train_state(variables, tx, ema=ema, ema_mask=ema_mask)
+    if resume_ck is not None:
+        state = _restore_state(state, resume_ck, ema)
 
     loss_kind = "label_smoothing" if regime == "optimized" else "ce"
     augment = "strong" if (regime == "optimized" and config.get("use_augmentation", True)) else "baseline"
@@ -229,13 +277,23 @@ def fit(config: Dict[str, Any], regime: str = "base", smoke: Optional[int] = Non
     )
     history = MetricsHistory()
     thru = ThroughputMeter()
-    best_cider = -1.0
+    best_cider = float(resume_ck.get("best_cider", -1.0)) if resume_ck else -1.0
     unfreeze_epoch = config.get("unfreeze_epoch")
     max_len = config.get("max_len", 52)
     rng = jax.random.PRNGKey(config.get("seed", 42))
     eval_batches = (max(1, smoke // 2) if smoke else None)
+    train_loader.epoch = start_epoch - 1  # align per-epoch shuffle seeds on resume
 
-    for epoch in range(1, num_epochs + 1):
+    # train step must match the restored phase (BN training after grid unfreeze)
+    if start_unfrozen and isinstance(module, GridCaptioningModel):
+        step_fn = S.make_train_step(
+            module, tx,
+            loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id,
+            r_drop_alpha=config.get("r_drop_alpha", 0.0) if config.get("use_r_drop") else 0.0,
+            augment=augment, train_backbone=True, ema=ema,
+        )
+
+    for epoch in range(start_epoch, num_epochs + 1):
         # -- backbone unfreeze: fresh optimizer + BN-training step (reference
         #    rebuilds Adam with param groups, train_vit_transformer.py:353-369)
         if unfreeze_epoch and epoch == unfreeze_epoch:

@@ -22,6 +22,7 @@ def parse_args(description: str):
         help="run N train steps/epoch with a tiny model (default 2) to exercise the full pipeline",
     )
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint path for deterministic mid-run resume")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p.parse_args()
 

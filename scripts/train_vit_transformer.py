@@ -9,8 +9,8 @@ from _common import apply_args, parse_args, print_config
 from image_caption_tpu.train.driver import fit
 
 
-def train(config, smoke=None):
-    return fit(config, regime="base", smoke=smoke)
+def train(config, smoke=None, resume_from=None):
+    return fit(config, regime="base", smoke=smoke, resume_from=resume_from)
 
 
 if __name__ == "__main__":
@@ -44,4 +44,4 @@ if __name__ == "__main__":
     }
     config = apply_args(config, args)
     print_config(config)
-    train(config, smoke=args.smoke)
+    train(config, smoke=args.smoke, resume_from=args.resume)

@@ -11,8 +11,8 @@ from _common import apply_args, parse_args, print_config
 from image_caption_tpu.train.driver import fit
 
 
-def train_optimized(config, smoke=None):
-    return fit(config, regime="optimized", smoke=smoke)
+def train_optimized(config, smoke=None, resume_from=None):
+    return fit(config, regime="optimized", smoke=smoke, resume_from=resume_from)
 
 
 if __name__ == "__main__":
@@ -54,4 +54,4 @@ if __name__ == "__main__":
     }
     config = apply_args(config, args)
     print_config(config)
-    train_optimized(config, smoke=args.smoke)
+    train_optimized(config, smoke=args.smoke, resume_from=args.resume)
