@@ -128,7 +128,7 @@ def build_model(
     dummy_images = jnp.zeros((1, 224, 224, 3), dtype=jnp.float32)
     dummy_caps = jnp.zeros((1, 4), dtype=jnp.int32)
     dummy_lens = jnp.array([4], dtype=jnp.int32)
-    variables = module.init({"params": rng, "dropout": rng}, dummy_images, dummy_caps, dummy_lens)
+    variables = jax.jit(module.init)({"params": rng, "dropout": rng}, dummy_images, dummy_caps, dummy_lens)
 
     wants_pretrained = config.get(
         "pretrained_vit" if config.get("model_type", "vit_transformer") == "vit_transformer" else "pretrained_cnn",

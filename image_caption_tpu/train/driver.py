@@ -62,7 +62,9 @@ def _frozen_prefix(config) -> str:
 def _build(config, vocab):
     module = build_module(len(vocab), config)
     rng = jax.random.PRNGKey(config.get("seed", 42))
-    variables = module.init(
+    # jit the whole init: one compiled program instead of thousands of
+    # individually-dispatched ops (a ~200s -> ~20s difference on a tunneled TPU)
+    variables = jax.jit(module.init)(
         {"params": rng, "dropout": rng},
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
@@ -311,17 +313,24 @@ def fit(
                 set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * plateau.scale)
 
         train_meter = AverageMeter()
+        # Keep per-step losses as device scalars and read them back once at
+        # epoch end: no per-step host sync, so dispatch pipelines ahead of the
+        # device and the loader thread overlaps TPU compute.
+        device_losses = []
+        gstep0 = int(state.step)
         for bi, batch in enumerate(train_loader):
             if bi >= steps_per_epoch:
                 break
             rng, k = jax.random.split(rng)
             jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
             state, metrics = step_fn(state, jb, k)
-            train_meter.update(float(metrics["loss"]), n=len(batch["length"]))
+            device_losses.append((metrics["loss"], len(batch["length"])))
             thru.tick(len(batch["length"]))
-            gstep = int(state.step)
-            if gstep % 50 == 0:
-                logger.scalar("train/loss", float(metrics["loss"]), gstep)
+        for i, (dl, n) in enumerate(device_losses):
+            v = float(dl)
+            train_meter.update(v, n=n)
+            if (gstep0 + i + 1) % 50 == 0:
+                logger.scalar("train/loss", v, gstep0 + i + 1)
         print(
             f"epoch {epoch}/{num_epochs} train loss {train_meter.avg:.4f} "
             f"({thru.samples_per_sec:.1f} samples/s, p50 step {thru.p50_step_ms:.0f}ms)"

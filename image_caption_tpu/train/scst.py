@@ -60,17 +60,22 @@ def get_reference_captions(
 
 class CiderRewardCalculator:
     """Per-batch CIDEr-D reward; doc-freq statistics from the batch refs, like the
-    reference's per-call pycocoevalcap Cider (scst_loss.py:20-54)."""
+    reference's per-call pycocoevalcap Cider (scst_loss.py:20-54).  Uses the
+    native C++ scorer (native/cider.cpp, ~8x the Python id-space scorer) when
+    buildable, Python CiderDFast otherwise — both exact-equivalent."""
 
     def __init__(self, pad_id: int, start_id: int, end_id: int, corpus_refs=None):
         self.pad_id, self.start_id, self.end_id = pad_id, start_id, end_id
+        from image_caption_tpu.eval.cider_native import make_fast_cider
+
+        self._make_scorer = make_fast_cider
         # Optionally score against corpus-level doc freq for stabler idf.
-        self.corpus_scorer = CiderDFast(corpus_refs) if corpus_refs else None
+        self.corpus_scorer = make_fast_cider(corpus_refs) if corpus_refs else None
 
     def __call__(self, hyp_tokens: np.ndarray, refs: List[List[List[int]]]) -> np.ndarray:
         hyps = [strip_ids(r, self.pad_id, self.start_id, self.end_id) for r in np.asarray(hyp_tokens)]
         try:
-            scorer = CiderDFast(refs)
+            scorer = self._make_scorer(refs)
             return scorer.score(hyps)
         except Exception:
             return np.zeros(len(hyps))  # reference degrades to 0.0 (:49-54)

@@ -46,7 +46,7 @@ def create_train_state(variables, tx, ema: Optional[EMA] = None, ema_mask=None) 
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
         batch_stats=variables.get("batch_stats", {}),
         ema=ema.init(params, ema_mask) if ema is not None else None,
     )

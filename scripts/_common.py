@@ -23,6 +23,8 @@ def parse_args(description: str):
     )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", default=None, help="checkpoint path for deterministic mid-run resume")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p.parse_args()
 

@@ -68,6 +68,48 @@ def evaluate_full_test_set(model, vocab, data_dir: str, batch_size: int = 64, ma
     return scores
 
 
+def batch_generate(model, vocab, image_paths, model_type=MODEL_TYPE, method="greedy"):
+    """Caption a list of image files in one batched decode (reference :158-180
+    generated per image; here the whole list is one device call)."""
+    import numpy as np
+
+    from image_caption_tpu.data.dataset import _load_image_canvas
+    from image_caption_tpu.data.transforms import eval_preprocess
+
+    canvases = np.stack([_load_image_canvas(p) for p in image_paths])
+    imgs = np.asarray(eval_preprocess(canvases))
+    toks = np.asarray(model.generate(imgs, vocab.start_id, vocab.end_id, max_len=52, method=method))
+    return [vocab.decode_to_text(row) for row in toks]
+
+
+def compare_random_val_samples(model, vocab, data_dir: str, n: int = 5, seed: int = 0):
+    """Random val images: ground truth vs greedy vs beam (reference :183-251)."""
+    import numpy as np
+
+    from image_caption_tpu.data.dataset import CaptionDataset
+    from image_caption_tpu.data.transforms import eval_preprocess
+
+    ds = CaptionDataset(os.path.join(data_dir, "val_data.json"), vocab=vocab, split="val")
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(ds), size=min(n, len(ds)), replace=False)
+    imgs, refs = [], []
+    for i in idx:
+        im, cap, _ = ds[int(i)]
+        imgs.append(im)
+        refs.append(vocab.decode_to_text(cap))
+    imgs = np.asarray(eval_preprocess(np.stack(imgs)))
+    greedy = np.asarray(model.generate(imgs, vocab.start_id, vocab.end_id, max_len=52))
+    beam = np.asarray(
+        model.generate(imgs, vocab.start_id, vocab.end_id, max_len=52, method="beam_search", beam_size=5)
+    )
+    for j, i in enumerate(idx):
+        print(f"[val #{i}]")
+        print(f"  GT:     {refs[j]}")
+        print(f"  greedy: {vocab.decode_to_text(greedy[j])}")
+        print(f"  beam:   {vocab.decode_to_text(beam[j])}")
+    return idx
+
+
 def main():
     parser = argparse.ArgumentParser(description="ViT+Transformer inference demo")
     parser.add_argument("--model", default=DEFAULT_CKPT)
@@ -75,6 +117,7 @@ def main():
     parser.add_argument("--image", default="test.jpg")
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--full-eval", action="store_true", help="run full test-set evaluation")
+    parser.add_argument("--compare-samples", type=int, default=0, help="compare N random val samples")
     parser.add_argument("--max-batches", type=int, default=None)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -97,6 +140,9 @@ def main():
         print(f"greedy: {greedy}")
         print(f"beam:   {beam}")
         visualize_prediction(args.image, greedy)
+
+    if args.compare_samples:
+        compare_random_val_samples(model, vocab, args.data_dir, n=args.compare_samples)
 
     if args.full_eval:
         evaluate_full_test_set(model, vocab, args.data_dir, max_batches=args.max_batches)

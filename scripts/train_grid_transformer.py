@@ -43,4 +43,7 @@ if __name__ == "__main__":
     }
     config = apply_args(config, args)
     print_config(config)
-    train(config, smoke=args.smoke, resume_from=args.resume)
+    from image_caption_tpu.utils.logging import profiler_trace
+
+    with profiler_trace(args.profile):
+        train(config, smoke=args.smoke, resume_from=args.resume)

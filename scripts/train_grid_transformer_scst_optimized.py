@@ -50,4 +50,7 @@ if __name__ == "__main__":
     }
     config = apply_args(config, args)
     print_config(config)
-    train_scst_optimized(config, smoke=args.smoke)
+    from image_caption_tpu.utils.logging import profiler_trace
+
+    with profiler_trace(args.profile):
+        train_scst_optimized(config, smoke=args.smoke)
