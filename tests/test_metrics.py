@@ -116,11 +116,40 @@ def test_rouge_known_value():
 
 def test_meteor_align():
     m, ch = _align(["a", "b", "c"], ["a", "b", "c"])
-    assert (m, ch) == (3, 1)
+    assert (len(m), ch) == (3, 1)
     m, ch = _align(["a", "x", "c"], ["a", "b", "c"])
-    assert m == 2 and ch == 2
+    assert len(m) == 2 and ch == 2
     m, ch = _align(["x"], ["y"])
-    assert (m, ch) == (0, 0)
+    assert (m, ch) == ([], 0)
+
+
+def test_meteor_stem_module_matches_inflections():
+    # "striped" vs "stripe" and "patterns" vs "pattern" only match via the stem
+    # module (Porter), with module weight 0.6 — the jar's behavior.
+    matches, _ = _align(["striped", "patterns"], ["stripe", "pattern"])
+    assert [(i, j) for i, j, _ in matches] == [(0, 0), (1, 1)]
+    assert all(mod == 1 for _, _, mod in matches)
+    # stem matches must score between no-match and exact-match
+    gts = {0: ["the shirt has plaid patterns"]}
+    exact = Meteor().compute_score(gts, {0: ["the shirt has plaid patterns"]})[0]
+    stem = Meteor().compute_score(gts, {0: ["the shirt has plaid pattern"]})[0]
+    miss = Meteor().compute_score(gts, {0: ["the shirt has plaid colors"]})[0]
+    assert exact > stem > miss
+
+
+def test_porter_stem_vocab_pairs():
+    from image_caption_tpu.eval.stem import porter_stem
+
+    assert porter_stem("patterns") == porter_stem("pattern")
+    assert porter_stem("striped") == porter_stem("stripe")
+    assert porter_stem("wearing") == porter_stem("wears") == "wear"
+    assert porter_stem("sleeves") == porter_stem("sleeve")
+    # classic Porter fixtures
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("hopping") == "hop"
+    assert porter_stem("knitting") == "knit"
 
 
 def test_meteor_perfect_close_to_one():
