@@ -44,6 +44,14 @@ def apply_args(config: dict, args) -> dict:
     if args.checkpoint_dir:
         config["checkpoint_dir"] = args.checkpoint_dir
     if args.smoke is not None:
+        # Smoke runs must not clobber real checkpoints/logs: redirect any
+        # output dirs the user didn't explicitly pass to a scratch location.
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="ict_smoke_")
+        if not args.checkpoint_dir:
+            config["checkpoint_dir"] = os.path.join(scratch, "checkpoints")
+        config["log_dir"] = os.path.join(scratch, "runs")
         config.update(
             num_epochs=min(config.get("num_epochs", 2), 2),
             batch_size=4,
