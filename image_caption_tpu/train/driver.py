@@ -394,27 +394,28 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
 
     # -- REQUIRED pretrained XE checkpoint (reference :388-394) --------------
     pre = config.get("pretrained_checkpoint")
-    if smoke is not None and pre and os.path.exists(pre):
-        # Smoke runs use a tiny model; a real full-size XE checkpoint at the
-        # configured path would shape-mismatch. Plumbing is what smoke tests —
-        # skip the restore rather than fail.
-        print(f"smoke: skipping pretrained checkpoint {pre}")
-        pre = None
     if pre and os.path.exists(pre):
-        if pre.endswith(".pth"):
-            from image_caption_tpu.utils.port_torch import load_reference_checkpoint
+        try:
+            if pre.endswith(".pth"):
+                from image_caption_tpu.utils.port_torch import load_reference_checkpoint
 
-            cap, _, _ = load_reference_checkpoint(pre)
-            variables = cap.variables
-            print(f"loaded reference torch checkpoint {pre}")
-        else:
-            ck = load_checkpoint(pre)
-            variables = {
-                "params": restore_into(variables["params"], ck["params"]),
-                "batch_stats": restore_into(variables.get("batch_stats", {}), ck.get("batch_stats", {}))
-                if ck.get("batch_stats") else variables.get("batch_stats", {}),
-            }
-            print(f"loaded XE checkpoint {pre} (CIDEr {ck.get('best_cider')})")
+                cap, _, _ = load_reference_checkpoint(pre)
+                variables = cap.variables
+                print(f"loaded reference torch checkpoint {pre}")
+            else:
+                ck = load_checkpoint(pre)
+                variables = {
+                    "params": restore_into(variables["params"], ck["params"]),
+                    "batch_stats": restore_into(variables.get("batch_stats", {}), ck.get("batch_stats", {}))
+                    if ck.get("batch_stats") else variables.get("batch_stats", {}),
+                }
+                print(f"loaded XE checkpoint {pre} (CIDEr {ck.get('best_cider')})")
+        except (ValueError, KeyError) as e:
+            if smoke is None:
+                raise
+            # A tiny --smoke model can't hold the configured full-size XE
+            # checkpoint; smoke exercises plumbing, so continue from random init.
+            print(f"smoke: pretrained checkpoint {pre} incompatible ({e}); random init")
     elif smoke is None:
         raise FileNotFoundError(
             f"SCST requires a pretrained XE checkpoint (got {pre!r}) — "

@@ -65,5 +65,26 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 def restore_into(template: PyTree, stored: PyTree) -> PyTree:
     """Shape/structure-checked restore of ``stored`` (nested dicts of np arrays)
-    into the structure of ``template``."""
-    return serialization.from_state_dict(template, stored)
+    into the structure of ``template``.
+
+    ``flax.serialization.from_state_dict`` checks structure but not array
+    shapes, deferring mismatches to a confusing error at first apply; check
+    shapes here so an incompatible checkpoint fails fast with the offending
+    paths listed.
+    """
+    restored = serialization.from_state_dict(template, stored)
+    mismatches = []
+
+    def check(path, a, b):
+        sa, sb = getattr(a, "shape", None), getattr(b, "shape", None)
+        if sa is not None and sb is not None and tuple(sa) != tuple(sb):
+            mismatches.append(f"{jax.tree_util.keystr(path)}: {tuple(sb)} -> {tuple(sa)}")
+        return b
+
+    jax.tree_util.tree_map_with_path(check, template, restored)
+    if mismatches:
+        raise ValueError(
+            "checkpoint shape mismatch:\n  " + "\n  ".join(mismatches[:10])
+            + ("" if len(mismatches) <= 10 else f"\n  ... and {len(mismatches) - 10} more")
+        )
+    return restored
