@@ -16,6 +16,36 @@ greedy + beam decode, CIDEr/METEOR/ROUGE-L/BLEU evaluation), re-designed TPU-fir
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (set ICT_COMPILATION_CACHE=0 to disable).
+
+    On tunneled/remote TPU backends a full-size train-step compile takes
+    minutes; caching compiled executables across processes makes every script
+    after the first launch start in seconds. Harmless on CPU; JAX skips
+    backends that can't serialize executables.
+    """
+    if _os.environ.get("ICT_COMPILATION_CACHE", "1") != "1":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "image_caption_tpu", "xla"),
+            )
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never block import on cache setup
+        pass
+
+
+_enable_compilation_cache()
+
 from image_caption_tpu.core.config import (  # noqa: F401
     default_vit_config,
     default_grid_config,
