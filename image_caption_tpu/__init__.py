@@ -19,13 +19,45 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_cache_tag() -> str:
+    """Short tag identifying this host's CPU feature set (+ jax version).
+
+    XLA:CPU persists AOT executables; replaying one compiled with different
+    host CPU features emits 'could lead to execution errors such as SIGILL'
+    and risks crashes on heterogeneous hosts sharing ~/.cache.  Keying the
+    cache dir on the host's /proc/cpuinfo flags isolates each feature set
+    (TPU executables are host-independent, but per-host dirs are harmless
+    there and the compiles happen on the same host anyway).
+    """
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+
+        feats += " jax-" + jax.__version__
+    except Exception:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache (set ICT_COMPILATION_CACHE=0 to disable).
 
     On tunneled/remote TPU backends a full-size train-step compile takes
     minutes; caching compiled executables across processes makes every script
-    after the first launch start in seconds. Harmless on CPU; JAX skips
-    backends that can't serialize executables.
+    after the first launch start in seconds.  The cache dir is keyed on the
+    host CPU feature set (see _host_cache_tag) so CPU AOT executables never
+    cross heterogeneous hosts.
     """
     if _os.environ.get("ICT_COMPILATION_CACHE", "1") != "1":
         return
@@ -35,7 +67,12 @@ def _enable_compilation_cache() -> None:
         if jax.config.jax_compilation_cache_dir is None:
             path = _os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
-                _os.path.join(_os.path.expanduser("~"), ".cache", "image_caption_tpu", "xla"),
+                _os.path.join(
+                    _os.path.expanduser("~"),
+                    ".cache",
+                    "image_caption_tpu",
+                    "xla-" + _host_cache_tag(),
+                ),
             )
             _os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)

@@ -42,12 +42,8 @@ FUNCTION_WORDS = frozenset(
     's n't 't""".split()
 )
 
-_DELTA = 0.75  # content-word weight; function words weigh 1 - delta
-_MODULE_WEIGHTS = (1.0, 0.6)  # exact, stem
-
-
-def _word_weight(w: str) -> float:
-    return _DELTA if w not in FUNCTION_WORDS else 1.0 - _DELTA
+_DELTA = 0.75  # default content-word weight; function words weigh 1 - delta
+_MODULE_WEIGHTS = (1.0, 0.6)  # default (exact, stem) module weights
 
 
 def _stage_keys(tokens: Sequence[str]) -> Tuple[List[str], List[str]]:
@@ -95,25 +91,47 @@ def _align(hyp: Sequence[str], ref: Sequence[str]) -> Tuple[list, int]:
 
 
 class Meteor:
-    def __init__(self, alpha: float = 0.85, beta: float = 0.2, gamma: float = 0.6):
+    """METEOR-1.5-compatible scorer (see module docstring for divergences).
+
+    alpha/beta/gamma are the METEOR 1.5 en task=rank parameters; delta is the
+    content-word weight (function words weigh 1 - delta) and module_weights
+    are the (exact, stem) matcher weights — all exposed so the scorer can be
+    re-tuned against a jar configuration if bit-parity on general English
+    matters (our FUNCTION_WORDS list is a standard stand-in for the jar's
+    function.words resource, a documented divergence — see PARITY.md).
+    """
+
+    def __init__(
+        self,
+        alpha: float = 0.85,
+        beta: float = 0.2,
+        gamma: float = 0.6,
+        delta: float = _DELTA,
+        module_weights: Tuple[float, float] = _MODULE_WEIGHTS,
+    ):
         self.alpha = alpha
         self.beta = beta
         self.gamma = gamma
+        self.delta = delta
+        self.module_weights = tuple(module_weights)
+
+    def _word_weight(self, w: str) -> float:
+        return self.delta if w not in FUNCTION_WORDS else 1.0 - self.delta
 
     def _score_one(self, hyp: List[str], refs: List[List[str]]) -> float:
         if not hyp:
             return 0.0
         best = 0.0
-        hyp_total = sum(_word_weight(w) for w in hyp)
+        hyp_total = sum(self._word_weight(w) for w in hyp)
         for ref in refs:
             if not ref:
                 continue
             matches, chunks = _align(hyp, ref)
             if not matches:
                 continue
-            ref_total = sum(_word_weight(w) for w in ref)
-            w_hyp = sum(_MODULE_WEIGHTS[mod] * _word_weight(hyp[i]) for i, _, mod in matches)
-            w_ref = sum(_MODULE_WEIGHTS[mod] * _word_weight(ref[j]) for _, j, mod in matches)
+            ref_total = sum(self._word_weight(w) for w in ref)
+            w_hyp = sum(self.module_weights[mod] * self._word_weight(hyp[i]) for i, _, mod in matches)
+            w_ref = sum(self.module_weights[mod] * self._word_weight(ref[j]) for _, j, mod in matches)
             p = w_hyp / hyp_total
             r = w_ref / ref_total
             if p + r == 0.0:

@@ -53,16 +53,6 @@ def _ends_cvc(word: str) -> bool:
     )
 
 
-def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
-    """If word ends with suffix and measure(stem) > min_m, replace; else None."""
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(stem) > min_m:
-        return stem + repl
-    return word  # suffix matched but condition failed: stop scanning this rule set
-
-
 _STEP2 = [
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
     ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),

@@ -31,9 +31,9 @@ def parse_args(description: str):
 
 def apply_args(config: dict, args) -> dict:
     if args.cpu:
-        import jax
+        from image_caption_tpu.utils.platform import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
     if args.data_dir:
         config["data_dir"] = args.data_dir
         config["vocab_path"] = os.path.join(args.data_dir, "vocab.json")

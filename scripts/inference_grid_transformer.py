@@ -29,9 +29,9 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     if args.cpu:
-        import jax
+        from image_caption_tpu.utils.platform import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
 
     from inference import generate_caption, load_model, preprocess_image
     from inference_vit_transformer import evaluate_full_test_set, visualize_prediction

@@ -122,9 +122,9 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     if args.cpu:
-        import jax
+        from image_caption_tpu.utils.platform import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
 
     from inference import generate_caption, load_model, preprocess_image
 

@@ -20,9 +20,9 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     if args.cpu:
-        import jax as _jax
+        from image_caption_tpu.utils.platform import force_cpu
 
-        _jax.config.update("jax_platforms", "cpu")
+        force_cpu()
 
     import jax
     import jax.numpy as jnp

@@ -2,22 +2,21 @@
 
 The JAX idiom for testing pjit/shard_map without TPUs:
 ``--xla_force_host_platform_device_count=8`` + forcing the cpu platform.
-
-Note: this image's sitecustomize force-registers the axon TPU platform and
-overrides JAX_PLATFORMS, so the env var alone is not enough — we must also flip
-``jax.config`` before the backend is first used.
+All the platform plumbing (including the sitecustomize workaround and
+disabling the persistent compilation cache, which is unsafe for CPU AOT)
+lives in image_caption_tpu.utils.platform.force_cpu.
 """
 
 import os
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from image_caption_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu(num_devices=8)
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
