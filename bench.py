@@ -56,13 +56,25 @@ def main():
 
     # timed runs
     runs = 5
-    t0 = time.perf_counter()
+    times = []
     for _ in range(runs):
-        toks = caption_batch(variables, images_u8)
-    toks.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+        t0 = time.perf_counter()
+        caption_batch(variables, images_u8).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    captions_per_sec = batch / (sum(times) / runs)
 
-    captions_per_sec = batch / dt
+    # p50 per-image caption latency, b=1 (BASELINE.md tracked metric):
+    # the same jitted path at batch 1 — what a single interactive request sees.
+    img1 = images_u8[:1]
+    caption_batch(variables, img1).block_until_ready()  # compile b=1
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        caption_batch(variables, img1).block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    p50_b1_ms = float(np.median(lat)) * 1e3
+
     baseline_per_chip = 2000.0 / 8.0
     print(
         json.dumps(
@@ -71,6 +83,8 @@ def main():
                 "value": round(captions_per_sec, 2),
                 "unit": "captions/sec",
                 "vs_baseline": round(captions_per_sec / baseline_per_chip, 3),
+                "p50_ms_per_caption_b1": round(p50_b1_ms, 3),
+                "p50_ms_per_caption_amortized_b%d" % batch: round(dt * 1e3 / batch, 4),
             }
         )
     )

@@ -16,10 +16,16 @@ Greedy parity notes:
 Beam search reproduces the reference algorithm shape-statically:
 - score = summed log-probs, NO length normalization
 - step 0 expands from beam 0 only (vit:370-378)
-- a beam that emits <end> is "harvested": its slot's score drops to -inf so the
-  live set shrinks, like the reference's remove-and-continue (vit:398-413)
-- vit stop rule: all beams finished; grid stop rule: >= beam_size harvested
-  (grid:308) — selectable via ``stop_when_harvested``
+- a beam that emits <end> is "harvested" and the live set SHRINKS — the
+  reference removes completed rows and rebinds ``beam_size = sequences.size(0)``
+  (vit:398-413, grid:310-317), so later steps keep only top-|live| candidates
+  and at most K sequences ever complete.  Implemented shape-statically by
+  tracking a per-image live count and masking candidate ranks >= live.
+- vit stop rule: all live beams finished; grid stop rule: break once
+  ``len(completed) >= beam_size`` where beam_size is the CURRENT (shrunken)
+  live count (grid:304-317 rebinds it) — selectable via ``stop_when_harvested``.
+  The grid rule can stop with live beams remaining, so the two rules can
+  return different captions (tested by a constructed case in test_decode.py).
 - returns best completed sequence, else best live (vit:415-420)
 """
 
@@ -201,32 +207,37 @@ def beam_search_decode(
     # Step-0 trick (vit:370-378): only beam 0 is live so every beam doesn't pick the
     # same token; implemented by initializing all but beam 0 to -inf.
     live_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
-    # Harvested (completed) pool: up to K per batch element.
+    # Harvested (completed) pool: at most K sequences ever complete (the live
+    # set shrinks by one per completion), so K slots are exact, never dropped.
     done_seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32)
     done_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32)
     done_count = jnp.zeros((b,), dtype=jnp.int32)
+    live_count = jnp.full((b,), k, dtype=jnp.int32)
+    stopped = jnp.zeros((b,), dtype=bool)  # grid stop rule fired for this image
     cur = jnp.full((b * k,), start_id, dtype=jnp.int32)
 
     def cond(state):
-        idx, _, live_scores, _, _, done_count, _, _ = state
-        alive = jnp.any(live_scores > _NEG_INF / 2, axis=1)
-        if stop_when_harvested:
-            alive = alive & (done_count < k)
-        return (idx < max_len - 1) & jnp.any(alive)
+        idx, _, _, _, _, _, live_count, stopped, _, _ = state
+        return (idx < max_len - 1) & jnp.any((live_count > 0) & ~stopped)
 
     def body(state):
-        idx, seqs, live_scores, done_seqs, done_scores, done_count, cache, cur = state
+        idx, seqs0, live_scores0, done_seqs0, done_scores0, done_count0, live_count0, stopped0, cache, cur = state
+        active = (live_count0 > 0) & ~stopped0  # [B] rows still decoding
         logits, cache = step(cur, cache, idx)  # [B*K, Vp]
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, -1)
         vp = logp.shape[-1]
-        cand = live_scores[:, :, None] + logp  # dead beams stay at -inf
+        cand = live_scores0[:, :, None] + logp  # dead beams stay at -inf
         flat = cand.reshape(b, k * vp)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K]
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K], sorted descending
+        # The reference keeps topk(|live|) candidates (beam_size rebinds to the
+        # shrunken live count, vit:413 / grid:317): mask ranks >= live_count.
+        rank_live = jnp.arange(k)[None, :] < live_count0[:, None]
+        top_scores = jnp.where(rank_live, top_scores, _NEG_INF)
         beam_idx = top_idx // vp
         word_idx = (top_idx % vp).astype(jnp.int32)
 
         # Reorder sequences and caches by winning parent beam, append the word.
-        seqs = jnp.take_along_axis(seqs, beam_idx[:, :, None], axis=1)
+        seqs = jnp.take_along_axis(seqs0, beam_idx[:, :, None], axis=1)
         seqs = seqs.at[:, :, idx + 1].set(word_idx)
         cache = _gather_cache(cache, beam_idx, b, k)
 
@@ -234,27 +245,54 @@ def beam_search_decode(
         newly_done = (word_idx == end_id) & (top_scores > _NEG_INF / 2)
         # Insert each newly-done beam into the done pool at slot done_count + rank.
         rank = jnp.cumsum(newly_done.astype(jnp.int32), axis=1) - 1
-        slot = jnp.where(newly_done, done_count[:, None] + rank, k)  # k = overflow/drop
-        slot = jnp.clip(slot, 0, k)  # slots >= k are dropped below
+        slot = jnp.where(newly_done, done_count0[:, None] + rank, k)
+        slot = jnp.clip(slot, 0, k)  # safety: slots >= k dropped below
         in_range = newly_done & (slot < k)
         done_scores = jax.vmap(
             lambda ds, s, sc, m: ds.at[jnp.where(m, s, k)].set(jnp.where(m, sc, _NEG_INF), mode="drop")
-        )(done_scores, slot, top_scores, in_range)
+        )(done_scores0, slot, top_scores, in_range)
         done_seqs = jax.vmap(
             lambda dq, s, sq, m: dq.at[jnp.where(m, s, k)].set(
                 jnp.where(m[:, None], sq, 0), mode="drop"
             )
-        )(done_seqs, slot, seqs, in_range)
-        done_count = jnp.minimum(done_count + jnp.sum(newly_done, axis=1), k)
+        )(done_seqs0, slot, seqs, in_range)
+        n_done = jnp.sum(newly_done, axis=1)
+        done_count = jnp.minimum(done_count0 + n_done, k)
 
-        # Finished beams leave the live set (score -> -inf), shrinking it like the
-        # reference's keep_mask re-slice.
+        # Finished beams leave the live set (score -> -inf); the live count
+        # shrinks like the reference's keep_mask re-slice.
         live_scores = jnp.where(newly_done, _NEG_INF, top_scores)
-        cur = word_idx.reshape(b * k)
-        return idx + 1, seqs, live_scores, done_seqs, done_scores, done_count, cache, cur
+        live_count = live_count0 - n_done
+        # Grid stop rule (grid:310): after appending this step's completions,
+        # break if len(completed) >= beam_size — beam_size being the live count
+        # that ENTERED the step (it rebinds only after the check).
+        stopped = stopped0
+        if stop_when_harvested:
+            stopped = stopped | ((n_done > 0) & (done_count >= live_count0))
 
-    state = (jnp.int32(0), seqs, live_scores, done_seqs, done_scores, done_count, cache, cur)
-    _, seqs, live_scores, done_seqs, done_scores, done_count, _, _ = jax.lax.while_loop(cond, body, state)
+        # Freeze rows whose decode already ended so extra loop iterations for
+        # other images can't mutate their result (pool/live state).
+        def keep(new, old):
+            a = active.reshape((b,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+
+        seqs = keep(seqs, seqs0)
+        live_scores = keep(live_scores, live_scores0)
+        done_seqs = keep(done_seqs, done_seqs0)
+        done_scores = keep(done_scores, done_scores0)
+        done_count = keep(done_count, done_count0)
+        live_count = keep(live_count, live_count0)
+        stopped = keep(stopped, stopped0)
+        cur = word_idx.reshape(b * k)
+        return idx + 1, seqs, live_scores, done_seqs, done_scores, done_count, live_count, stopped, cache, cur
+
+    state = (
+        jnp.int32(0), seqs, live_scores, done_seqs, done_scores, done_count,
+        live_count, stopped, cache, cur,
+    )
+    _, seqs, live_scores, done_seqs, done_scores, done_count, _, _, _, _ = jax.lax.while_loop(
+        cond, body, state
+    )
 
     # Best completed if any, else best live (vit:415-420).
     have_done = done_count > 0

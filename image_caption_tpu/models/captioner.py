@@ -126,8 +126,9 @@ class ViTCaptioningModel(CaptioningModel):
         )
 
     def encode(self, images, deterministic: bool = True, train_backbone: bool = False):
-        del train_backbone  # ViT has no BN; freezing is an optimizer concern
-        return self.encoder(images, deterministic=deterministic)
+        # ViT has no BN so no mode change; train_backbone controls whether the
+        # frozen trunk cuts the gradient graph (see VisionTransformerEncoder).
+        return self.encoder(images, deterministic=deterministic, train_backbone=train_backbone)
 
 
 class GridCaptioningModel(CaptioningModel):

@@ -13,6 +13,7 @@ set_trainable/set_cnn_trainable freeze — here it is enforced by optimizer mask
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -46,9 +47,20 @@ class VisionTransformerEncoder(nn.Module):
             self.d_model, name="projection", param_dtype=self.policy.param_dtype, dtype=self.policy.compute_dtype
         )
 
-    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """images NHWC normalized -> [B, 196, d_model] (cls token dropped, :95)."""
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True, train_backbone: bool = False
+    ) -> jnp.ndarray:
+        """images NHWC normalized -> [B, 196, d_model] (cls token dropped, :95).
+
+        When the ViT is frozen (the reference's default until ``unfreeze_epoch``,
+        vit_transformer_model.py:64) its params take no gradient, so we cut the
+        graph at the trunk output: XLA then skips the entire ViT backward AND
+        frees its saved activations — the frozen phase costs a forward only,
+        like torch's ``requires_grad=False``.  The projection stays trainable.
+        """
         tokens = self.vit(images, deterministic=deterministic)
+        if not train_backbone:
+            tokens = jax.lax.stop_gradient(tokens)
         patch_features = tokens[:, 1:, :]
         return self.projection(patch_features)
 
@@ -84,6 +96,11 @@ class GridFeatureEncoder(nn.Module):
     ) -> jnp.ndarray:
         """images NHWC normalized -> [B, 49, d_model]."""
         x = self.cnn(images, train=train_cnn)  # [B, 7, 7, 2048]
+        if not train_cnn:
+            # Frozen CNN (reference default until unfreeze_epoch, grid:79):
+            # cut the graph so XLA skips the ResNet-101 backward and frees all
+            # its saved activations — torch requires_grad=False semantics.
+            x = jax.lax.stop_gradient(x)
         x = self.projection(x)  # [B, 7, 7, d_model]
         b, h, w, d = x.shape
         x = x.reshape(b, h * w, d)

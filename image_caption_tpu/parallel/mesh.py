@@ -13,8 +13,19 @@ Axes:
   sharded on their feature dim via ``param_shardings`` pattern rules
 
 ``make_mesh((4, 2))`` -> Mesh(data=4, model=2).  With a 1-sized model axis the
-rules degrade to pure DP.  Multi-host would extend the data axis across DCN via
-``jax.distributed.initialize`` — the sharding annotations are unchanged.
+rules degrade to pure DP.
+
+Multi-host (DCN) story: call ``initialize_distributed()`` once per process
+before any backend use, build the mesh over the GLOBAL device set (the default
+``make_mesh()`` already does — ``jax.devices()`` is global after distributed
+init, and ``mesh_utils.create_device_mesh`` keeps the 'model' axis on
+intra-host ICI links), have each host load only its rows of the batch
+(``process_batch_slice``), and assemble global arrays with
+``shard_batch`` — it routes through
+``jax.make_array_from_process_local_data`` when process_count > 1.  The
+sharding annotations and train step are unchanged; XLA rides ICI inside a
+host/slice and DCN across.  (SURVEY §2.9: the reference has no distributed
+backend at all; this is the TPU-native equivalent named there.)
 """
 
 from __future__ import annotations
@@ -28,17 +39,80 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PyTree = Any
 
+_distributed_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Multi-host entry point: wire this process into the global runtime.
+
+    Call once per process, BEFORE any other JAX API touches the backend.
+    Returns True if distributed mode was initialized.  With no arguments and
+    no coordinator in the environment this is a no-op returning False — the
+    single-process path stays zero-config (the degenerate case the tests
+    exercise).  On TPU pods launched by a cluster scheduler,
+    ``jax.distributed.initialize()`` auto-detects everything; otherwise pass
+    ``coordinator_address='host:port'``, ``num_processes`` and ``process_id``.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    import os
+
+    has_env = bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if coordinator_address is None and num_processes is None and not has_env:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _distributed_initialized = True
+    return True
+
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
-    """Mesh with ('data', 'model') axes. Default: all devices on 'data'."""
+    """Mesh with ('data', 'model') axes. Default: ALL (global) devices on 'data'.
+
+    Uses ``mesh_utils.create_device_mesh`` when possible so the trailing
+    ('model') axis lands on the best-connected (ICI-adjacent) device pairs;
+    falls back to a plain reshape (identical on CPU/single-host).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
         shape = (n, 1)
     d, m = shape
     assert d * m == n, f"mesh {shape} != {n} devices"
-    dev_array = np.asarray(devices).reshape(d, m)
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((d, m), devices=devices)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(d, m)
     return Mesh(dev_array, ("data", "model"))
+
+
+def process_batch_slice(global_batch_size: int) -> slice:
+    """The rows of the global batch THIS process should load.
+
+    Per-host input pipeline contract: every host loads only its contiguous
+    slice of the global batch and passes it to ``shard_batch``; global batch
+    size must divide by process_count.
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    assert global_batch_size % pc == 0, (
+        f"global batch {global_batch_size} not divisible by {pc} processes"
+    )
+    per = global_batch_size // pc
+    return slice(pi * per, (pi + 1) * per)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -51,8 +125,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
-    """Host batch -> device arrays with batch-dim sharding over the 'data' axis."""
+    """Host batch -> device arrays with batch-dim sharding over the 'data' axis.
+
+    Single-process: a plain sharded device_put.  Multi-process: ``batch`` holds
+    only this host's rows (see ``process_batch_slice``) and the global array is
+    assembled via ``jax.make_array_from_process_local_data`` — no host ever
+    materializes the full global batch.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -51,6 +51,7 @@ from image_caption_tpu.utils.logging import (
     AverageMeter,
     Logger,
     MetricsHistory,
+    RLMetricsHistory,
     ThroughputMeter,
 )
 
@@ -286,8 +287,10 @@ def fit(
     eval_batches = (max(1, smoke // 2) if smoke else None)
     train_loader.epoch = start_epoch - 1  # align per-epoch shuffle seeds on resume
 
-    # train step must match the restored phase (BN training after grid unfreeze)
-    if start_unfrozen and isinstance(module, GridCaptioningModel):
+    # train step must match the restored phase: train_backbone=True lets
+    # gradients flow into the unfrozen backbone (encoders cut the graph when
+    # False) and, for grid, switches BN to training mode.
+    if start_unfrozen:
         step_fn = S.make_train_step(
             module, tx,
             loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id,
@@ -301,12 +304,11 @@ def fit(
         if unfreeze_epoch and epoch == unfreeze_epoch:
             print(f"epoch {epoch}: unfreezing backbone ({frozen}), fresh optimizer")
             tx = make_tx(unfrozen=True)
-            train_backbone = isinstance(module, GridCaptioningModel)
             step_fn = S.make_train_step(
                 module, tx,
                 loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id,
                 r_drop_alpha=config.get("r_drop_alpha", 0.0) if config.get("use_r_drop") else 0.0,
-                augment=augment, train_backbone=train_backbone, ema=ema,
+                augment=augment, train_backbone=True, ema=ema,
             )
             state = state.replace(opt_state=tx.init(state.params))
             if plateau is not None:
@@ -441,38 +443,75 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
     ema_mask = jax.tree_util.tree_map(lambda lab: lab != "frozen", labels) if ema else None
     state = S.create_train_state(variables, tx, ema=ema, ema_mask=ema_mask)
 
-    reward = make_reward(config.get("reward_type", "cider"), pad_id, start_id, end_id)
+    reward_type = config.get("reward_type", "cider")
     max_len = config.get("max_len", 52)
+    # Device reward: for the CIDEr reward (the reference default) the whole
+    # SCST step fuses into one XLA program — rollouts, reward, REINFORCE
+    # update — with zero per-step host syncs.  BLEU/combined (and vocabs too
+    # large to pack n-grams into int32) keep the host reward path.
+    device_cider = None
+    if reward_type == "cider" and config.get("device_reward", True):
+        try:
+            from image_caption_tpu.eval.cider_device import CiderDevice
+
+            device_cider = CiderDevice(pad_id, start_id, end_id, len(vocab), max_len)
+        except ValueError as e:
+            print(f"device CIDEr unavailable ({e}); host reward path")
+    reward = make_reward(reward_type, pad_id, start_id, end_id)
     scst_step = S.make_scst_step(
         module, tx, reward, pad_id=pad_id, start_id=start_id, end_id=end_id,
         max_len=max_len, augment="baseline" if config.get("use_augmentation", True) else None,
-        ema=ema,
+        ema=ema, device_cider=device_cider,
     )
     eval_step = S.make_eval_step(module, pad_id=pad_id)
     early = EarlyStopping(config.get("early_stopping_patience", 8))
     ckpt_dir = config.get("checkpoint_dir", "checkpoints_scst")
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = Logger(config.get("log_dir"), config.get("use_tensorboard", False))
-    history = MetricsHistory()
+    history = RLMetricsHistory()
     best_cider = -1.0
     rng = jax.random.PRNGKey(config.get("seed", 42))
     eval_batches = (max(1, smoke // 2) if smoke else None)
 
+    pysteps = 0
     for epoch in range(1, num_epochs + 1):
         meters = {k: AverageMeter() for k in ("loss", "sample_reward", "greedy_reward", "advantage")}
-        for bi, batch in enumerate(train_loader):
-            if bi >= steps_per_epoch:
-                break
-            rng, k = jax.random.split(rng)
-            refs = get_reference_captions(batch["caption"], pad_id, start_id, end_id)
-            jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
-            state, metrics = scst_step(state, jb, refs, k)
-            for k2 in meters:
-                meters[k2].update(metrics[k2], n=len(batch["length"]))
-            gstep = int(state.step)
-            if gstep % 20 == 0:
-                for k2 in ("sample_reward", "greedy_reward", "advantage"):
-                    logger.scalar(f"train/{k2}", metrics[k2], gstep)
+        if device_cider is not None:
+            # Fused path: the loop body never blocks on the device — steps
+            # dispatch asynchronously while the host packs the NEXT batch's
+            # reference statistics; ONE metrics fetch per epoch.
+            acc = S.init_scst_acc()
+            for bi, batch in enumerate(train_loader):
+                if bi >= steps_per_epoch:
+                    break
+                rng, k = jax.random.split(rng)
+                refs = get_reference_captions(batch["caption"], pad_id, start_id, end_id)
+                pack = device_cider.pack(refs)
+                jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+                state, acc = scst_step(state, jb, pack, k, acc)
+                pysteps += 1
+            vals = {k2: float(v) for k2, v in jax.device_get(acc).items()}
+            n = max(vals.pop("samples"), 1.0)
+            vals.pop("steps")
+            vals.pop("grad_norm")
+            for k2, m in meters.items():
+                m.update(vals[k2] / n, n=int(n))
+            for k2 in ("sample_reward", "greedy_reward", "advantage"):
+                logger.scalar(f"train/{k2}", meters[k2].avg, pysteps)
+        else:
+            for bi, batch in enumerate(train_loader):
+                if bi >= steps_per_epoch:
+                    break
+                rng, k = jax.random.split(rng)
+                refs = get_reference_captions(batch["caption"], pad_id, start_id, end_id)
+                jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+                state, metrics = scst_step(state, jb, refs, k)
+                for k2 in meters:
+                    meters[k2].update(metrics[k2], n=len(batch["length"]))
+                pysteps += 1
+                if pysteps % 20 == 0:
+                    for k2 in ("sample_reward", "greedy_reward", "advantage"):
+                        logger.scalar(f"train/{k2}", metrics[k2], pysteps)
         print(
             f"epoch {epoch}/{num_epochs} "
             + " ".join(f"{k}={m.avg:.4f}" for k, m in meters.items())
@@ -484,7 +523,11 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
             max_len=max_len, max_batches=eval_batches, include_loss=False,
         )
         print(f"  val: {scores}")
-        history.append(**{k: meters[k].avg for k in meters}, **scores)
+        history.add(
+            epoch, meters["sample_reward"].avg, meters["greedy_reward"].avg,
+            meters["advantage"].avg, scores, lr=float(sched(min(int(state.step), total_steps))),
+        )
+        history.append(loss=meters["loss"].avg)
         cider = scores.get("CIDEr", 0.0)
         if cider > best_cider:
             best_cider = cider
@@ -493,7 +536,9 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
             print(f"early stopping at epoch {epoch}")
             break
 
-    history.plot_and_save(ckpt_dir, title="SCST Training")
+    # 8-panel RL dashboard + text summary, reference filename
+    # (train_vit_transformer_scst_optimized.py:537-540)
+    history.plot_and_save(os.path.join(ckpt_dir, "scst_optimized_training_metrics.png"))
     history.plot_combined(ckpt_dir)
     history.save_json(os.path.join(ckpt_dir, "metrics_history.json"))
     print(f"SCST done in {time.time() - t_start:.0f}s, best CIDEr {best_cider:.4f}")

@@ -88,7 +88,9 @@ def make_train_step(
     # mutable=[] would still make flax return an (out, {}) tuple — use False.
     mutable = ["batch_stats"] if train_backbone else False
 
-    @jax.jit
+    # Donating the input state lets XLA update params/opt_state/EMA in place
+    # (~1.6 GB for the full models) instead of double-buffering them in HBM.
+    @functools.partial(jax.jit, donate_argnames=("state",))
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng_aug, rng_do1, rng_do2 = jax.random.split(rng, 3)
         images = _augment(augment, rng_aug, batch["image"])
@@ -163,6 +165,15 @@ def make_eval_step(module, *, loss_kind: str = "ce", smoothing: float = 0.1, pad
     return step
 
 
+SCST_ACC_KEYS = ("loss", "sample_reward", "greedy_reward", "advantage", "grad_norm", "steps", "samples")
+
+
+def init_scst_acc() -> Dict[str, jnp.ndarray]:
+    """Device-side metric accumulator for the fused SCST step (one host fetch
+    per epoch instead of five blocking ``float()`` syncs per step)."""
+    return {k: jnp.zeros((), jnp.float32) for k in SCST_ACC_KEYS}
+
+
 def make_scst_step(
     module,
     tx: optax.GradientTransformation,
@@ -174,31 +185,28 @@ def make_scst_step(
     max_len: int = 52,
     augment: Optional[str] = "baseline",
     ema: Optional[EMA] = None,
+    device_cider=None,
 ):
-    """SCST step = device rollouts -> host reward -> device REINFORCE update.
+    """SCST step.  Two regimes:
 
-    Returns ``step(state, batch, refs, rng) -> (state, metrics)`` where ``refs``
-    is the per-image stripped reference id lists (train/scst.py
-    ``get_reference_captions``).  The host<->device boundary carries only token
-    ids and a [B] advantage vector per step.
+    - ``device_cider`` given (an ``eval.cider_device.CiderDevice``): the WHOLE
+      step — rollouts, CIDEr-D rewards for sample and greedy, advantage,
+      REINFORCE grad, optimizer/EMA update, metric accumulation — is ONE jitted
+      XLA program.  Signature ``step(state, batch, pack, rng, acc) ->
+      (state, acc)`` where ``pack = device_cider.pack(refs)`` is host-built
+      from loader data (no sync) and ``acc`` starts as ``init_scst_acc()``.
+      Zero host round trips per step (the reference syncs twice per step for
+      pycocoevalcap text rewards, scst_loss.py:179-180).
+
+    - otherwise: device rollouts -> host reward (BLEU/combined or large-vocab
+      CIDEr) -> device update.  Signature ``step(state, batch, refs, rng) ->
+      (state, metrics)``; the boundary carries token ids and a [B] advantage.
     """
     import numpy as np
 
     from image_caption_tpu.decode.engine import sequence_lengths
 
-    @jax.jit
-    def prepare(state: TrainState, batch, rng):
-        rng_aug, rng_sample = jax.random.split(rng)
-        images = _augment(augment, rng_aug, batch["image"])
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        sampled, greedy = scst_rollouts(
-            module, variables, images, rng_sample,
-            start_id=start_id, end_id=end_id, pad_id=pad_id, max_len=max_len,
-        )
-        return images, sampled, greedy
-
-    @jax.jit
-    def update(state: TrainState, images, sampled, sample_lengths, advantage):
+    def _reinforce_update(state: TrainState, images, sampled, sample_lengths, advantage):
         def loss_fn(params):
             return scst_loss_fn(
                 module, params, {"batch_stats": state.batch_stats},
@@ -213,6 +221,57 @@ def make_scst_step(
             step=state.step + 1, params=new_params, opt_state=new_opt_state, ema=new_ema
         )
         return new_state, loss, optax.global_norm(grads)
+
+    if device_cider is not None:
+
+        @functools.partial(jax.jit, donate_argnames=("state", "acc"))
+        def fused_step(state: TrainState, batch, pack, rng, acc):
+            rng_aug, rng_sample = jax.random.split(rng)
+            images = _augment(augment, rng_aug, batch["image"])
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            memory = module.apply(variables, images, method=module.encode)
+            from image_caption_tpu.decode import engine as E
+
+            sampled, _ = E.sample_decode(
+                module, variables, memory, rng_sample,
+                start_id=start_id, end_id=end_id, pad_id=pad_id, max_len=max_len,
+            )
+            greedy = E.greedy_decode(
+                module, variables, memory, start_id=start_id, end_id=end_id, max_len=max_len
+            )
+            r_sample = device_cider.score(sampled, pack)
+            r_greedy = device_cider.score(greedy, pack)
+            advantage = r_sample - r_greedy
+            sample_lengths = sequence_lengths(sampled, end_id)
+            state, loss, grad_norm = _reinforce_update(
+                state, images, sampled, sample_lengths, advantage
+            )
+            n = jnp.float32(sampled.shape[0])
+            acc = {
+                "loss": acc["loss"] + loss * n,
+                "sample_reward": acc["sample_reward"] + jnp.sum(r_sample),
+                "greedy_reward": acc["greedy_reward"] + jnp.sum(r_greedy),
+                "advantage": acc["advantage"] + jnp.sum(advantage),
+                "grad_norm": acc["grad_norm"] + grad_norm,
+                "steps": acc["steps"] + 1.0,
+                "samples": acc["samples"] + n,
+            }
+            return state, acc
+
+        return fused_step
+
+    @jax.jit
+    def prepare(state: TrainState, batch, rng):
+        rng_aug, rng_sample = jax.random.split(rng)
+        images = _augment(augment, rng_aug, batch["image"])
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        sampled, greedy = scst_rollouts(
+            module, variables, images, rng_sample,
+            start_id=start_id, end_id=end_id, pad_id=pad_id, max_len=max_len,
+        )
+        return images, sampled, greedy
+
+    update = jax.jit(_reinforce_update, donate_argnames=("state",))
 
     def step(state: TrainState, batch, refs, rng):
         images, sampled, greedy = prepare(state, batch, rng)

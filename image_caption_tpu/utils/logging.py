@@ -136,6 +136,77 @@ class MetricsHistory:
         plt.close(fig)
 
 
+class RLMetricsHistory(MetricsHistory):
+    """SCST observability: the reference's 8-panel RL dashboard + text summary
+    (train_vit_transformer_scst_optimized.py:57-163), same ``add`` signature and
+    ``plot_and_save(save_path)`` surface, on top of MetricsHistory's JSON dump."""
+
+    def add(self, epoch, sample_reward, greedy_reward, advantage, scores, lr):
+        self.history["epoch"].append(float(epoch))
+        self.append(
+            sample_reward=sample_reward,
+            greedy_reward=greedy_reward,
+            advantage=advantage,
+            lr=lr,
+            CIDEr=scores.get("CIDEr", 0.0),
+            METEOR=scores.get("METEOR", 0.0),
+            ROUGE_L=scores.get("ROUGE_L", 0.0),
+        )
+
+    def plot_and_save(self, save_path: str):  # noqa: D401 - reference surface
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return  # headless-safe
+        h = self.history
+        epochs = h["epoch"]
+        if not epochs:
+            return
+        fig, axes = plt.subplots(2, 4, figsize=(20, 10))
+        fig.suptitle("SCST + Optimizations Training Metrics", fontsize=16)
+
+        def panel(ax, series, title, ylabel):
+            for key, style, label in series:
+                ax.plot(epochs, h[key], style, marker="o", ms=3, label=label)
+            ax.set_xlabel("Epoch")
+            ax.set_ylabel(ylabel)
+            ax.set_title(title)
+            ax.legend()
+            ax.grid(True)
+
+        panel(axes[0, 0], [("sample_reward", "b-", "Sample Reward"),
+                           ("greedy_reward", "r-", "Greedy Reward")],
+              "Reward Comparison", "Reward (CIDEr)")
+        panel(axes[0, 1], [("advantage", "g-", "Advantage")], "Average Advantage", "Advantage")
+        axes[0, 1].axhline(y=0, color="k", linestyle="--", alpha=0.5)
+        panel(axes[0, 2], [("CIDEr", "g-", "CIDEr")], "CIDEr Score (Validation)", "Score")
+        panel(axes[0, 3], [("lr", "y-", "LR")], "Learning Rate Schedule", "Learning Rate")
+        panel(axes[1, 0], [("METEOR", "m-", "METEOR")], "METEOR Score", "Score")
+        panel(axes[1, 1], [("ROUGE_L", "c-", "ROUGE-L")], "ROUGE-L Score", "Score")
+        panel(axes[1, 2], [("CIDEr", "g-", "CIDEr"), ("METEOR", "m-", "METEOR"),
+                           ("ROUGE_L", "c-", "ROUGE-L")], "All Metrics", "Score")
+
+        axes[1, 3].axis("off")
+        summary = (
+            "Training Summary\n"
+            "================\n"
+            f"Total Epochs: {len(epochs)}\n"
+            f"Best CIDEr: {max(h['CIDEr']):.4f}\n"
+            f"Best METEOR: {max(h['METEOR']):.4f}\n"
+            f"Best ROUGE-L: {max(h['ROUGE_L']):.4f}\n"
+            f"Final LR: {h['lr'][-1]:.2e}\n"
+        )
+        axes[1, 3].text(0.1, 0.5, summary, fontsize=12, family="monospace",
+                        verticalalignment="center")
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150)
+        plt.close(fig)
+
+
 class Logger:
     """print + optional TensorBoard scalars (+ metrics JSONL)."""
 

@@ -1,0 +1,106 @@
+"""Train-step micro-benchmark across batch sizes (the r1 'large-batch cliff').
+
+Measures ms/step and samples/s for the full-size models at b=64/128/256 on the
+current backend, optionally capturing a jax.profiler trace per batch size.
+
+    python scripts/bench_train_step.py --model grid_transformer
+    python scripts/bench_train_step.py --model vit_transformer --profile /tmp/tr
+    python scripts/bench_train_step.py --train-backbone   # unfrozen phase
+
+Prints one JSON line per batch size.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="grid_transformer",
+                    choices=["grid_transformer", "vit_transformer"])
+    ap.add_argument("--batches", default="64,128,256")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--train-backbone", action="store_true",
+                    help="benchmark the unfrozen phase (backbone takes gradients)")
+    ap.add_argument("--profile", default=None, metavar="DIR")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        from image_caption_tpu.utils.platform import force_cpu
+
+        force_cpu()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_caption_tpu.models.runtime import build_module
+    from image_caption_tpu.train import steps as S
+    from image_caption_tpu.train.optim import EMA, make_optimizer
+    from image_caption_tpu.train.schedules import warmup_cosine_schedule
+
+    config = dict(
+        model_type=args.model, d_model=512, nhead=8, num_encoder_layers=6,
+        num_decoder_layers=6, dim_feedforward=2048, dropout=0.1, max_len=54,
+    )
+    module = build_module(109, config)
+    key = jax.random.PRNGKey(0)
+    variables = module.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
+    )
+    ema = EMA(0.999)
+    tx = make_optimizer(
+        warmup_cosine_schedule(3e-4, 100, 10_000), kind="adamw",
+        weight_decay=0.01, clip_norm=1.0,
+    )
+    step_fn = S.make_train_step(
+        module, tx, loss_kind="label_smoothing", pad_id=0, augment="baseline",
+        train_backbone=args.train_backbone, ema=ema,
+    )
+
+    rng_np = np.random.default_rng(0)
+    for b in (int(x) for x in args.batches.split(",")):
+        state = S.create_train_state(variables, tx, ema=ema)
+        cap = rng_np.integers(1, 100, size=(b, 52)).astype(np.int32)
+        cap[:, 0], cap[:, -1] = 107, 108
+        batch = {
+            "image": jnp.asarray(
+                rng_np.integers(0, 255, size=(b, 256, 256, 3), dtype=np.uint8)
+            ),
+            "caption": jnp.asarray(cap),
+            "length": jnp.full((b,), 52, dtype=jnp.int32),
+        }
+        rng = jax.random.PRNGKey(1)
+        state, m = step_fn(state, batch, rng)  # compile
+        jax.block_until_ready(m["loss"])
+
+        def timed(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = step_fn(state, batch, rng)
+            jax.block_until_ready(m["loss"])
+            return (time.perf_counter() - t0) / n
+
+        if args.profile:
+            tdir = os.path.join(args.profile, f"{args.model}_b{b}")
+            with jax.profiler.trace(tdir):
+                timed(3)
+            print(f"# trace -> {tdir}", file=sys.stderr)
+        dt = timed(args.steps)
+        print(json.dumps({
+            "model": args.model, "batch": b, "train_backbone": args.train_backbone,
+            "ms_per_step": round(dt * 1e3, 2),
+            "samples_per_sec": round(b / dt, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,13 +100,15 @@ def _naive_beam(dec, vars_, mem_row, max_len, beam_size, stop_when_harvested):
             for idx in np.nonzero(end_mask)[0]:
                 completed.append(sequences[idx])
                 completed_scores.append(scores[idx])
+            # Grid stop rule (grid:310): compares against the CURRENT (shrunken)
+            # beam size, before this step's shrink rebinds it.
+            if stop_when_harvested and len(completed) >= k:
+                break
             if end_mask.all():
                 break
             keep = ~end_mask
             sequences, scores = sequences[keep], scores[keep]
             k = len(sequences)
-        if stop_when_harvested and len(completed) >= beam_size:
-            break
     if completed:
         return completed[int(np.argmax(completed_scores))]
     return sequences[int(np.argmax(scores))]
@@ -126,6 +128,80 @@ def test_beam_matches_reference_algorithm(decoder_and_vars, stop_when_harvested)
         naive = _naive_beam(dec, vars_, mem[b], max_len, k, stop_when_harvested)
         got = fast[b][: len(naive)]
         np.testing.assert_array_equal(got, naive)
+
+
+class _ScriptedModel:
+    """Fake decode session whose next-token logits depend only on the current
+    token (a Markov table) — lets tests construct exact beam-search landscapes."""
+
+    def __init__(self, table):
+        self.table = tuple(map(tuple, table))
+
+    def init_cache(self, memory, max_len):
+        b = memory.shape[0]
+        return {"l0": {"self": jnp.zeros((b, 1)), "cross_kv": jnp.zeros((b, 1))}}
+
+    def step(self, token, cache, index):
+        return jnp.asarray(self.table, dtype=jnp.float32)[token], cache
+
+    def apply(self, variables, *args, method=None):
+        return method(self, *args)
+
+
+def test_grid_stop_rule_changes_beam_output():
+    """Constructed case where the grid stop rule (break once len(completed) >=
+    current beam_size, grid:310) returns a different caption than the vit rule
+    (run until all live beams finish, vit:406).
+
+    vocab: 0=pad 1=w1 2=w2 3=a 4=end 7=start.  With k=3: step 0 harvests
+    <start,end>; step 1 harvests <start,w2,end> making completed(2) >= live(2)
+    so grid stops there — but the best path <start,w1,a,end> only completes at
+    step 2, which the vit rule reaches and returns.
+    """
+    NEG = -30.0
+    table = np.full((8, 8), NEG, dtype=np.float32)
+    table[7, 1], table[7, 2], table[7, 4] = 3.0, 2.0, 0.5  # start -> w1 | w2 | end
+    table[1, 3], table[1, 4] = 3.0, -2.0                   # w1 -> a (end weak)
+    table[2, 4] = 3.0                                      # w2 -> end
+    table[3, 4] = 3.0                                      # a -> end
+    model = _ScriptedModel(table)
+    mem = jnp.zeros((2, 1, 1))  # two identical images: exercises per-row freeze
+
+    kw = dict(start_id=7, end_id=4, max_len=6, beam_size=3)
+    vit = np.asarray(engine.beam_search_decode(model, {}, mem, stop_when_harvested=False, **kw))
+    grid = np.asarray(engine.beam_search_decode(model, {}, mem, stop_when_harvested=True, **kw))
+    np.testing.assert_array_equal(vit, [[7, 1, 3, 4, 0, 0]] * 2)
+    np.testing.assert_array_equal(grid, [[7, 2, 4, 0, 0, 0]] * 2)
+
+
+def test_live_set_shrinks_like_reference():
+    """After a harvest the live set must SHRINK (the reference rebinds
+    beam_size to sequences.size(0), vit:413) — an implementation that
+    replenishes back to k live beams tracks an illegal extra lineage.
+
+    k=2: step 0 harvests <start,end>, leaving ONE live beam (w1) whose
+    children are a (kept) and t5 (cut by the shrink).  The illegal t5 lineage
+    ends immediately at score ~-1.06; the legal a lineage ends later at
+    ~-0.96 but would be dropped by a full done-pool if t5 had been harvested.
+    Shrinking semantics must return <start,w1,a,t6,end>.
+    """
+    NEG = -30.0
+    table = np.full((8, 8), NEG, dtype=np.float32)
+    table[7, 1], table[7, 4] = 3.0, 2.0   # start -> w1 | end (end harvested step 0)
+    table[1, 3], table[1, 5] = 1.0, 0.9   # w1 -> a | t5 (near-tie; shrink keeps a only)
+    table[5, 4] = 5.0                     # t5 -> end (the illegal quick finish)
+    table[3, 6] = 0.0                     # a -> t6
+    table[6, 4] = 5.0                     # t6 -> end
+    model = _ScriptedModel(table)
+    mem = jnp.zeros((1, 1, 1))
+
+    out = np.asarray(
+        engine.beam_search_decode(
+            model, {}, mem, start_id=7, end_id=4, max_len=6, beam_size=2,
+            stop_when_harvested=False,
+        )
+    )[0]
+    np.testing.assert_array_equal(out, [7, 1, 3, 6, 4, 0])
 
 
 def test_sample_logprobs_consistent(decoder_and_vars):

@@ -76,3 +76,22 @@ def test_scst_from_xe_checkpoint(tmp_path):
     )
     out = fit_scst(scfg, smoke=2)
     assert np.isfinite(out["best_cider"])
+
+
+def test_rl_metrics_history_dashboard(tmp_path):
+    """RLMetricsHistory reproduces the reference's 8-panel dashboard + summary
+    (train_vit_transformer_scst_optimized.py:57-163): same add() surface,
+    plot_and_save(save_path) writes the PNG, JSON dump keeps all curves."""
+    from image_caption_tpu.utils.logging import RLMetricsHistory
+
+    h = RLMetricsHistory()
+    for ep in (1, 2, 3):
+        h.add(ep, 0.5 + 0.1 * ep, 0.45 + 0.1 * ep, 0.05, 
+              {"CIDEr": 1.0 + 0.1 * ep, "METEOR": 0.3, "ROUGE_L": 0.5}, lr=5e-6 / ep)
+    png = tmp_path / "scst_optimized_training_metrics.png"
+    h.plot_and_save(str(png))
+    assert png.exists() and png.stat().st_size > 10_000
+    h.save_json(str(tmp_path / "hist.json"))
+    import json as J
+    data = J.loads((tmp_path / "hist.json").read_text())
+    assert len(data["CIDEr"]) == 3 and len(data["lr"]) == 3 and len(data["epoch"]) == 3

@@ -127,3 +127,43 @@ def test_sharded_greedy_decode(module_and_vars):
         start_id=START, end_id=END, max_len=12,
     )
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host seam (process-count=1 degenerate paths)
+# ---------------------------------------------------------------------------
+
+
+def test_initialize_distributed_single_process_noop():
+    from image_caption_tpu.parallel import mesh as M
+
+    # no coordinator configured anywhere -> no-op, backend untouched
+    assert M.initialize_distributed() is False
+    assert jax.process_count() == 1
+
+
+def test_process_batch_slice_degenerate_and_divisibility(monkeypatch):
+    from image_caption_tpu.parallel import mesh as M
+
+    sl = M.process_batch_slice(32)
+    assert (sl.start, sl.stop) == (0, 32)  # single process owns the whole batch
+
+    # simulate process 2-of-4 to check the per-host slice + divisibility guard
+    monkeypatch.setattr(M.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(M.jax, "process_index", lambda: 2)
+    sl = M.process_batch_slice(32)
+    assert (sl.start, sl.stop) == (16, 24)
+    with pytest.raises(AssertionError):
+        M.process_batch_slice(33)  # must divide by process_count
+
+
+def test_shard_batch_matches_process_local_assembly():
+    """device_put path and make_array_from_process_local_data must build the
+    same global array when process_count == 1 (the multi-host code path run
+    degenerately)."""
+    mesh = make_mesh((8, 1))
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    via_put = shard_batch({"x": x}, mesh)["x"]
+    via_local = jax.make_array_from_process_local_data(batch_sharding(mesh), x)
+    assert via_put.sharding.is_equivalent_to(via_local.sharding, x.ndim)
+    np.testing.assert_array_equal(np.asarray(via_put), np.asarray(via_local))

@@ -151,3 +151,41 @@ def test_eval_step_and_checkpoint_roundtrip(setup, tmp_path):
     l1 = jax.tree_util.tree_leaves(restored)
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frozen_backbone_takes_no_gradient(setup):
+    """With train_backbone=False the encoders cut the graph at the backbone
+    output (torch requires_grad=False semantics): CNN grads must be exactly
+    zero while projection/decoder grads flow; True restores CNN gradients."""
+    module, variables = setup
+    rng = np.random.default_rng(3)
+    batch = tiny_batch(rng)
+    images = jnp.asarray(batch["image"]).astype(jnp.float32)[:, :224, :224, :] / 255.0
+    captions, lengths = jnp.asarray(batch["caption"]), jnp.asarray(batch["length"])
+
+    def loss(params, train_backbone):
+        out = module.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            images, captions, lengths, deterministic=True,
+            train_backbone=train_backbone,
+            mutable=["batch_stats"] if train_backbone else False,
+        )
+        if train_backbone:
+            out = out[0]
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_frozen = jax.grad(lambda p: loss(p, False))(variables["params"])
+    cnn_norm = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g_frozen["encoder"]["cnn"], 0.0
+    )
+    proj_norm = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g_frozen["encoder"]["projection"], 0.0
+    )
+    assert cnn_norm == 0.0
+    assert proj_norm > 0.0
+
+    g_train = jax.grad(lambda p: loss(p, True))(variables["params"])
+    cnn_norm_t = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g_train["encoder"]["cnn"], 0.0
+    )
+    assert cnn_norm_t > 0.0
