@@ -23,8 +23,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import queue
-import threading
 from typing import Dict, Iterator, Optional, Union
 
 import numpy as np
@@ -132,11 +130,17 @@ class CaptionDataset:
 
 
 class BatchLoader:
-    """Epoch iterator over fixed-shape numpy batches with background prefetch.
+    """Epoch iterator over fixed-shape numpy batches with parallel prefetch.
 
     Yields ``{"image": uint8 [B,256,256,3], "caption": int32 [B,L], "length":
     int32 [B]}``.  Shuffling is seeded per-epoch (``seed + epoch``) for exact
     reproducibility and deterministic resume.
+
+    ``num_workers`` decode threads build batches concurrently (PIL releases
+    the GIL inside JPEG decode/resize, so threads scale on multi-core hosts —
+    the analog of the reference DataLoader's worker processes,
+    deepfashion_dataset.py:273-297); results are yielded strictly in order,
+    with up to ``prefetch + num_workers`` batches in flight.
     """
 
     def __init__(
@@ -147,6 +151,7 @@ class BatchLoader:
         drop_last: bool = False,
         seed: int = 42,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -154,6 +159,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -183,33 +189,29 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._batch_indices()
         n = len(self)
-        chunks = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n)]
+        chunks = iter([idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n)])
         self.epoch += 1
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        from itertools import islice
 
-        def producer():
-            try:
-                for c in chunks:
-                    q.put(self._make_batch(c))
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            window = self.prefetch + self.num_workers
+            pending = deque(ex.submit(self._make_batch, c) for c in islice(chunks, window))
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(chunks, None)
+                if nxt is not None:
+                    pending.append(ex.submit(self._make_batch, nxt))
+                yield batch
 
 
 def create_data_loaders(
     data_dir: str = "data",
     vocab_path: str = "data/vocab.json",
     batch_size: int = 32,
-    num_workers: int = 4,  # accepted for API parity; prefetch threads are used instead
+    num_workers: int = 4,  # decode threads per loader (reference DataLoader workers)
     image_size: int = 224,  # crop happens on device; accepted for parity
     max_len: int = 50,
     seed: int = 42,
@@ -218,7 +220,7 @@ def create_data_loaders(
     """Train/val/test loaders with the reference's surface
     (deepfashion_dataset.py:231-304; ``drop_last`` train-only as in the optimized
     scripts, train_vit_transformer_optimized.py:180-187)."""
-    del num_workers, image_size
+    del image_size
     vocab = Vocab.load(vocab_path)
     loaders = []
     for split in ("train", "val", "test"):
@@ -232,6 +234,7 @@ def create_data_loaders(
                 shuffle=(split == "train"),
                 drop_last=(split == "train" and drop_last_train),
                 seed=seed,
+                num_workers=num_workers,
             )
         )
     return tuple(loaders)

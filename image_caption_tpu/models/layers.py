@@ -91,8 +91,15 @@ class SelfAttention(nn.Module):
         return self.out(o.reshape(x.shape))
 
     def init_cache(self, batch: int, max_len: int) -> Dict[str, jnp.ndarray]:
-        dh = self.d_model // self.nhead
-        z = jnp.zeros((batch, max_len, self.nhead, dh), dtype=self.policy.compute_dtype)
+        # Cache is stored FLAT [B, L, d_model] — exactly the layout the
+        # flash-decoding kernel consumes, so the loop-carried buffers never
+        # need a layout copy before the pallas call.  Length rounds up to the
+        # kernel block size (ops/decode_attention.py); padded positions are
+        # always beyond `index` and thus masked on every path.
+        from image_caption_tpu.ops.decode_attention import BLK
+
+        pad_len = -(-max_len // BLK) * BLK
+        z = jnp.zeros((batch, pad_len, self.d_model), dtype=self.policy.compute_dtype)
         return {"k": z, "v": z}
 
     def step(
@@ -102,17 +109,14 @@ class SelfAttention(nn.Module):
         b = x.shape[0]
         qkv = self.qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        k = self._heads(k).astype(cache["k"].dtype)
-        v = self._heads(v).astype(cache["v"].dtype)
-        cache_k = cache["k"].at[:, index].set(k[:, 0])
-        cache_v = cache["v"].at[:, index].set(v[:, 0])
-        max_len = cache_k.shape[1]
-        # Mask out positions beyond the current index (torch convention: True = masked).
-        pos = jnp.arange(max_len)[None, :]
-        mask = pos > index  # [1, max_len] -> broadcast over batch
-        o = mha_attention(
-            self._heads(q), cache_k, cache_v, causal=False, kv_padding_mask=jnp.broadcast_to(mask, (b, max_len))
-        )
+        cache_k = cache["k"].at[:, index].set(k[:, 0].astype(cache["k"].dtype))
+        cache_v = cache["v"].at[:, index].set(v[:, 0].astype(cache["v"].dtype))
+        # Flash-decoding attention: positions beyond `index` are masked AND
+        # their cache blocks are never fetched on TPU (ops/decode_attention.py);
+        # CPU/odd-batch falls back to the identical-semantics XLA path.
+        from image_caption_tpu.ops.decode_attention import decode_attention
+
+        o = decode_attention(self._heads(q), cache_k, cache_v, index, nheads=self.nhead)
         o = self.out(o.reshape(b, 1, self.d_model))
         return o, {"k": cache_k, "v": cache_v}
 

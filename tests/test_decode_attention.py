@@ -1,0 +1,55 @@
+"""Flash-decoding kernel vs the XLA reference attention (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_caption_tpu.ops.attention import mha_reference
+from image_caption_tpu.ops.decode_attention import _decode_attention_pallas
+
+B, L, H, DH = 16, 64, 8, 64  # L = cache length, BLK-padded like SelfAttention.init_cache
+
+
+def _reference(q, k, v, index):
+    mask = jnp.broadcast_to(jnp.arange(L)[None, :] > index, (B, L))
+    return mha_reference(q, k, v, causal=False, kv_padding_mask=mask)
+
+
+def _flat(x):
+    return x.reshape(B, L, H * DH)
+
+
+@pytest.mark.parametrize("index", [0, 5, 15, 16, 31, 51])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_decode_attention_matches_reference(index, dtype):
+    key = jax.random.PRNGKey(index)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, 1, H, DH), dtype)
+    k = jax.random.normal(kk, (B, L, H, DH), dtype)
+    v = jax.random.normal(kv, (B, L, H, DH), dtype)
+    want = np.asarray(_reference(q, k, v, jnp.int32(index)), np.float32)
+    got = np.asarray(
+        _decode_attention_pallas(q, _flat(k), _flat(v), jnp.int32(index), nheads=H, interpret=True),
+        np.float32,
+    )
+    atol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
+
+
+def test_decode_attention_only_prefix_matters():
+    """Keys/values beyond `index` must not affect the output (the whole point:
+    those blocks are never even fetched on TPU)."""
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kn = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (B, 1, H, DH), jnp.float32)
+    k = jax.random.normal(kk, (B, L, H, DH), jnp.float32)
+    v = jax.random.normal(kv, (B, L, H, DH), jnp.float32)
+    index = jnp.int32(20)
+    a = _decode_attention_pallas(q, _flat(k), _flat(v), index, nheads=H, interpret=True)
+    noise = jax.random.normal(kn, (B, L - 21, H, DH)) * 100
+    k2 = k.at[:, 21:].set(noise)
+    v2 = v.at[:, 21:].set(noise)
+    b = _decode_attention_pallas(q, _flat(k2), _flat(v2), index, nheads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
