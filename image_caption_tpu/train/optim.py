@@ -135,7 +135,9 @@ class EMA:
         else:
             mask = tuple(bool(m) for m in jax.tree_util.tree_leaves(trainable_mask))
         # Shadow keeps the full tree (structure-stable); mask gates update/apply.
-        shadow = jax.tree_util.tree_map(lambda p: p, params)
+        # COPIES, not references: the train step donates the whole state, and
+        # XLA rejects a tree that donates the same buffer twice (params+shadow).
+        shadow = jax.tree_util.tree_map(jnp.array, params)
         return EMAState(shadow=shadow, mask=mask)
 
     def _zip_map(self, fn, state: EMAState, params: PyTree) -> PyTree:

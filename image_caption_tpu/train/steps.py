@@ -42,12 +42,15 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(variables, tx, ema: Optional[EMA] = None, ema_mask=None) -> TrainState:
-    params = variables["params"]
+    # Private copies: the train steps DONATE the state, which would otherwise
+    # delete the caller's `variables` buffers out from under them (they alias).
+    params = jax.tree_util.tree_map(jnp.array, variables["params"])
+    batch_stats = jax.tree_util.tree_map(jnp.array, variables.get("batch_stats", {}))
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
         opt_state=jax.jit(tx.init)(params),
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         ema=ema.init(params, ema_mask) if ema is not None else None,
     )
 

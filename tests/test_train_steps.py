@@ -61,7 +61,10 @@ def test_xe_train_step_learns(setup):
     batch = tiny_batch(rng)
     key = jax.random.PRNGKey(1)
     losses = []
-    p0 = state.params
+    # snapshot to host BEFORE stepping: the step donates the state, so the
+    # original device buffers are reused in place
+    enc0 = np.asarray(jax.tree_util.tree_leaves(state.params["encoder"]["cnn"])[0])
+    dec0 = np.asarray(jax.tree_util.tree_leaves(state.params["decoder"])[0])
     for i in range(8):
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, {k2: jnp.asarray(v) for k2, v in batch.items()}, k)
@@ -70,12 +73,10 @@ def test_xe_train_step_learns(setup):
     assert losses[-1] < losses[0]
     assert int(state.step) == 8
     # frozen encoder unchanged, decoder changed
-    enc0 = jax.tree_util.tree_leaves(p0["encoder"]["cnn"])[0]
     enc1 = jax.tree_util.tree_leaves(state.params["encoder"]["cnn"])[0]
-    np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
-    dec0 = jax.tree_util.tree_leaves(p0["decoder"])[0]
+    np.testing.assert_array_equal(enc0, np.asarray(enc1))
     dec1 = jax.tree_util.tree_leaves(state.params["decoder"])[0]
-    assert not np.array_equal(np.asarray(dec0), np.asarray(dec1))
+    assert not np.array_equal(dec0, np.asarray(dec1))
     # EMA shadow differs from both init and current (it trails)
     assert state.ema is not None
 
