@@ -190,3 +190,46 @@ def test_frozen_backbone_takes_no_gradient(setup):
         lambda a, l: a + float(jnp.sum(jnp.abs(l))), g_train["encoder"]["cnn"], 0.0
     )
     assert cnn_norm_t > 0.0
+
+
+def test_scst_fused_step_matches_host_reward_path(setup):
+    """The fused device-CIDEr SCST step must produce the same parameter update
+    as the host-reward step for identical state/batch/rng (the rewards are
+    exact-equivalent, so the REINFORCE grads must be too)."""
+    from image_caption_tpu.eval.cider_device import CiderDevice
+
+    module, variables = setup
+    batch = tiny_batch(np.random.default_rng(5))
+    refs = get_reference_captions(batch["caption"], PAD, START, END)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+    max_len = 14
+
+    def run(device_cider):
+        tx = make_optimizer(5e-6, kind="adamw", weight_decay=0.01, clip_norm=1.0)
+        step_fn = S.make_scst_step(
+            module, tx, make_reward("cider", PAD, START, END), pad_id=PAD,
+            start_id=START, end_id=END, max_len=max_len, augment=None,
+            device_cider=device_cider,
+        )
+        state = S.create_train_state(variables, tx)
+        if device_cider is None:
+            state, metrics = step_fn(state, jb, refs, rng)
+            return state, metrics["sample_reward"], metrics["advantage"]
+        acc = S.init_scst_acc()
+        state, acc = step_fn(state, jb, device_cider.pack(refs), rng, acc)
+        vals = {k: float(v) for k, v in jax.device_get(acc).items()}
+        n = vals["samples"]
+        return state, vals["sample_reward"] / n, vals["advantage"] / n
+
+    s_host, sr_host, adv_host = run(None)
+    dev = CiderDevice(PAD, START, END, VOCAB, max_len)
+    s_fused, sr_fused, adv_fused = run(dev)
+
+    assert abs(sr_host - sr_fused) < 1e-4, (sr_host, sr_fused)
+    assert abs(adv_host - adv_fused) < 1e-4, (adv_host, adv_fused)
+    ph = jax.tree_util.tree_leaves(s_host.params["decoder"])
+    pf = jax.tree_util.tree_leaves(s_fused.params["decoder"])
+    for a, b in zip(ph, pf):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=1e-6, rtol=1e-5)
