@@ -22,6 +22,7 @@ import tempfile
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -87,4 +88,8 @@ def restore_into(template: PyTree, stored: PyTree) -> PyTree:
             "checkpoint shape mismatch:\n  " + "\n  ".join(mismatches[:10])
             + ("" if len(mismatches) <= 10 else f"\n  ... and {len(mismatches) - 10} more")
         )
-    return restored
+    # Return DEVICE arrays: leaving numpy leaves in restored variables makes
+    # every subsequent jit call re-upload the full tree (≈350 MB for the
+    # full-size models — through the tunnel, per batch; measured to turn an
+    # 80-batch eval from ~60 s into >10 min).
+    return jax.tree_util.tree_map(jnp.asarray, restored)
