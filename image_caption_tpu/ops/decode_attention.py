@@ -116,6 +116,22 @@ def _make_kernel(nheads: int, head_dim: int, tile_b: int, scale: float):
     return kernel
 
 
+def _pick_tile_b(b: int) -> int:
+    """Largest batch tile <=128 that divides ``b`` exactly (multiple of 8).
+
+    The grid's last tile issues a manual HBM DMA at ``row0 = i * tile_b``; a
+    tile that does not divide ``b`` would read past the end of the cache (the
+    slice start gets clamped, silently attending to the wrong rows' K/V — e.g.
+    B=192 with tile 128 corrupted rows 128-191).  Exact divisors keep every
+    DMA in bounds.  ``b`` is a multiple of 8 by the dispatch contract.
+    """
+    tile = 8
+    for t in range(16, 129, 8):
+        if b % t == 0:
+            tile = t
+    return tile
+
+
 @functools.partial(jax.jit, static_argnames=("nheads", "interpret"))
 def _decode_attention_pallas(q, k_cache, v_cache, index, *, nheads, interpret=False):
     """q [B, 1, H, Dh]; caches FLAT [B, L, H*Dh] (the kernel's native layout)."""
@@ -123,10 +139,11 @@ def _decode_attention_pallas(q, k_cache, v_cache, index, *, nheads, interpret=Fa
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, hd = k_cache.shape
+    assert b % 8 == 0, f"kernel batch must be sublane-aligned (got {b}); pad first"
     h, dh = nheads, hd // nheads
     q2 = q.reshape(b, hd)
-    tile_b = min(b, 128)
-    nb = -(-b // tile_b)
+    tile_b = _pick_tile_b(b)
+    nb = b // tile_b
     scale = 1.0 / (dh**0.5)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -157,7 +174,17 @@ def _decode_attention_pallas(q, k_cache, v_cache, index, *, nheads, interpret=Fa
 
 
 def _use_pallas(batch: int) -> bool:
-    """On by default on TPU (ICT_DISABLE_PALLAS=1 to opt out)."""
+    """On by default on TPU (ICT_DISABLE_PALLAS=1 to opt out).
+
+    Aligned batches (b % 8 == 0) run the kernel directly.  Sub-8 batches —
+    the interactive b=1 latency case — are padded to one 8-row tile by
+    ``_padded_pallas`` (the pad copies a <=7-row sliver of cache, negligible
+    next to the weight reads that dominate small-batch decode).  Mid-size
+    ragged batches (e.g. 12, 100) fall back to XLA: padding them would copy
+    the whole K/V cache every step, spending the very HBM traffic the kernel
+    exists to save (and the eval tail batch is padded at the driver level, so
+    ragged shapes are rare).
+    """
     if os.environ.get("ICT_DISABLE_PALLAS", "0") == "1":
         return False
     try:
@@ -165,7 +192,24 @@ def _use_pallas(batch: int) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
-    return batch % 8 == 0  # keep batch tiles sublane-aligned; tiny/ragged -> XLA
+    return batch % 8 == 0 or batch < 8
+
+
+def _padded_pallas(q, k_cache, v_cache, index, *, nheads, interpret=False):
+    """Pad a sub-8 batch to one sublane tile, run the kernel, slice back.
+
+    Padded rows are all-zero: their scores are 0 at valid positions, so the
+    online softmax stays finite (l >= 1 because position 0 is always valid);
+    the rows are dropped before returning.
+    """
+    b = q.shape[0]
+    pad = (-b) % 8
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, pad), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, pad), (0, 0), (0, 0)))
+    out = _decode_attention_pallas(q, k_cache, v_cache, index, nheads=nheads, interpret=interpret)
+    return out[:b] if pad else out
 
 
 def decode_attention(
@@ -177,7 +221,7 @@ def decode_attention(
 ) -> jnp.ndarray:
     """Single-token cached attention; returns [B, 1, H, Dh]."""
     if _use_pallas(q.shape[0]):
-        return _decode_attention_pallas(q, k_cache, v_cache, index, nheads=nheads)
+        return _padded_pallas(q, k_cache, v_cache, index, nheads=nheads)
     from image_caption_tpu.ops.attention import mha_reference
 
     b, l, hd = k_cache.shape
