@@ -196,7 +196,8 @@ class BatchLoader:
         from concurrent.futures import ThreadPoolExecutor
         from itertools import islice
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             window = self.prefetch + self.num_workers
             pending = deque(ex.submit(self._make_batch, c) for c in islice(chunks, window))
             while pending:
@@ -205,6 +206,12 @@ class BatchLoader:
                 if nxt is not None:
                     pending.append(ex.submit(self._make_batch, nxt))
                 yield batch
+        finally:
+            # A consumer that abandons the epoch mid-way (``break`` in the
+            # train loop) closes this generator; cancel queued decodes instead
+            # of blocking on prefetch+num_workers in-flight batches finishing
+            # (a real stall at every epoch boundary on a one-core host).
+            ex.shutdown(wait=False, cancel_futures=True)
 
 
 def create_data_loaders(

@@ -82,12 +82,16 @@ class SelfAttention(nn.Module):
     ) -> jnp.ndarray:
         qkv = self.qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        # torch MHA drops attention PROBABILITIES in training (the reference
+        # trains with dropout=0.1 inside every encoder/decoder layer,
+        # vit_transformer_model.py:123-134); residual dropout is the enclosing
+        # layer's job (torch dropout1/2/3).
+        rate = 0.0 if deterministic else self.dropout
+        rng = self.make_rng("dropout") if rate > 0.0 else None
         o = mha_attention(
-            self._heads(q), self._heads(k), self._heads(v), causal=causal, kv_padding_mask=key_padding_mask
+            self._heads(q), self._heads(k), self._heads(v), causal=causal,
+            kv_padding_mask=key_padding_mask, dropout_rate=rate, dropout_rng=rng,
         )
-        del deterministic  # residual dropout is the enclosing layer's job (torch
-        # dropout1/2/3); attention-prob dropout is intentionally not implemented —
-        # fused kernels don't materialize probs (documented divergence, train-only)
         return self.out(o.reshape(x.shape))
 
     def init_cache(self, batch: int, max_len: int) -> Dict[str, jnp.ndarray]:
@@ -155,8 +159,12 @@ class CrossAttention(nn.Module):
         if memory_kv is None:
             memory_kv = self.memory_kv(memory)
         q = self._heads(self.q_proj(x))
-        del deterministic  # see SelfAttention.__call__
-        o = mha_attention(q, memory_kv["k"], memory_kv["v"], causal=False, kv_padding_mask=key_padding_mask)
+        rate = 0.0 if deterministic else self.dropout  # see SelfAttention.__call__
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        o = mha_attention(
+            q, memory_kv["k"], memory_kv["v"], causal=False,
+            kv_padding_mask=key_padding_mask, dropout_rate=rate, dropout_rng=rng,
+        )
         return self.out(o.reshape(x.shape))
 
 

@@ -55,16 +55,29 @@ def mha_attention(
     *,
     causal: bool = False,
     kv_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = masked (torch convention)
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over [B, T/S, H, Dh] tensors."""
-    if _use_pallas():
-        try:
-            from image_caption_tpu.ops.flash_attention import flash_mha
+    """Scaled dot-product attention over [B, T/S, H, Dh] tensors.
 
-            return flash_mha(q, k, v, causal=causal, kv_padding_mask=kv_padding_mask)
-        except Exception:
-            pass  # fall through to the XLA path rather than fail the step
-    return mha_reference(q, k, v, causal=causal, kv_padding_mask=kv_padding_mask)
+    ``dropout_rate`` + ``dropout_rng``: torch-MHA-style dropout on the softmax
+    probabilities (train-time only; the reference trains every regime with
+    ``nn.TransformerDecoderLayer(..., dropout=0.1)`` which drops attention
+    probs, vit_transformer_model.py:123-134).  Active dropout forces the XLA
+    path — fused kernels never materialize probs.
+    """
+    if dropout_rng is None or dropout_rate <= 0.0:
+        if _use_pallas():
+            try:
+                from image_caption_tpu.ops.flash_attention import flash_mha
+
+                return flash_mha(q, k, v, causal=causal, kv_padding_mask=kv_padding_mask)
+            except Exception:
+                pass  # fall through to the XLA path rather than fail the step
+    return mha_reference(
+        q, k, v, causal=causal, kv_padding_mask=kv_padding_mask,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    )
 
 
 def mha_reference(
@@ -74,6 +87,8 @@ def mha_reference(
     *,
     causal: bool = False,
     kv_padding_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """XLA attention: einsum QK^T -> f32 softmax -> einsum V."""
     b, t, h, dh = q.shape
@@ -87,5 +102,10 @@ def mha_reference(
     if kv_padding_mask is not None:
         logits = jnp.where(kv_padding_mask[:, None, None, :], _NEG_INF, logits)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # torch F.dropout on attention weights: zero with prob p, scale
+        # survivors by 1/(1-p) (rows may no longer sum to 1 — torch semantics).
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

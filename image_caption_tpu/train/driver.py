@@ -80,6 +80,18 @@ def _build(config, vocab):
     return module, variables
 
 
+def _pad_batch(batch: Dict[str, np.ndarray], to: int, pad_id: int) -> Dict[str, np.ndarray]:
+    """Pad a ragged batch to ``to`` rows: zero images, all-<pad> captions,
+    length 1 (a valid length that keeps every mask construction in range)."""
+    n = len(batch["length"])
+    m = to - n
+    return {
+        "image": np.concatenate([batch["image"], np.zeros((m,) + batch["image"].shape[1:], batch["image"].dtype)]),
+        "caption": np.concatenate([batch["caption"], np.full((m, batch["caption"].shape[1]), pad_id, batch["caption"].dtype)]),
+        "length": np.concatenate([batch["length"], np.ones((m,), batch["length"].dtype)]),
+    }
+
+
 def validate(
     module,
     variables,
@@ -99,20 +111,30 @@ def validate(
     gts: Dict[int, Any] = {}
     res: Dict[int, Any] = {}
     img_id = 0
+    full_bsz = getattr(loader, "batch_size", None)
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
+        n = len(batch["length"])
+        if full_bsz is not None and n < full_bsz:
+            # Pad the ragged final batch to the loader's batch size so eval
+            # keeps ONE compiled shape per run (each new shape is a fresh jit
+            # of eval_step + greedy_decode — 5-90 s through the TPU tunnel).
+            # Padded rows are all-<pad> captions: they contribute zero tokens
+            # to the pad-masked loss (exact, not approximate) and are sliced
+            # out of gts/res below.
+            batch = _pad_batch(batch, full_bsz, vocab.pad_id)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         loss, memory = eval_step(variables, jb)
         if include_loss:
-            loss_meter.update(float(loss), n=len(batch["length"]))
+            loss_meter.update(float(loss), n=n)
         tokens = np.asarray(
             engine.greedy_decode(
                 module, variables, memory,
                 start_id=vocab.start_id, end_id=vocab.end_id, max_len=max_len,
             )
         )
-        for row, ref_row in zip(tokens, batch["caption"]):
+        for row, ref_row in zip(tokens[:n], batch["caption"][:n]):
             res[img_id] = [vocab.decode_to_text(row)]
             gts[img_id] = [vocab.decode_to_text(ref_row)]
             img_id += 1
@@ -129,10 +151,36 @@ def _variables_of(state: S.TrainState, ema: Optional[EMA]) -> Dict:
     return {"params": params, "batch_stats": state.batch_stats}
 
 
-def _save(path, state, ema, config, epoch, scores, best_cider):
+def _host_state(plateau=None, early=None) -> str:
+    """JSON-encoded host-side scheduler/stopper state (ReduceLROnPlateau +
+    EarlyStopping), persisted like the reference SCST checkpoint's scheduler
+    state (train_vit_transformer_scst_optimized.py:509-520).  JSON (not the
+    msgpack pytree) because the fields include None/inf host scalars."""
+    import json
+
+    return json.dumps(
+        {
+            "plateau": plateau.state_dict() if plateau is not None else None,
+            "early": early.state_dict() if early is not None else None,
+        }
+    )
+
+
+def _load_host_state(ck: Dict[str, Any], plateau=None, early=None) -> None:
+    import json
+
+    hs = json.loads(ck["host_state"]) if ck.get("host_state") else {}
+    if plateau is not None and hs.get("plateau"):
+        plateau.load_state_dict(hs["plateau"])
+    if early is not None and hs.get("early"):
+        early.load_state_dict(hs["early"])
+
+
+def _save(path, state, ema, config, epoch, scores, best_cider, plateau=None, early=None):
     from flax import serialization as _ser
 
     payload = {
+        "host_state": _host_state(plateau, early),
         "step": int(state.step),
         "epoch": epoch,
         "params": _variables_of(state, ema)["params"],  # EMA baked in, like the ref
@@ -272,12 +320,23 @@ def fit(
         r_drop_alpha=config.get("r_drop_alpha", 0.0) if config.get("use_r_drop") else 0.0,
         augment=augment, train_backbone=False, ema=ema,
     )
-    eval_step = S.make_eval_step(module, loss_kind="ce", pad_id=pad_id)
+    # Val/test loss uses the SAME criterion as training (the reference's
+    # optimized validate scores with LabelSmoothing,
+    # train_vit_transformer_optimized.py:305, :396-402; base uses CE).
+    eval_step = S.make_eval_step(
+        module, loss_kind=loss_kind, smoothing=config.get("label_smoothing", 0.1), pad_id=pad_id
+    )
 
     plateau = ReduceLROnPlateau(factor=0.5, patience=3) if regime == "base" else None
     early = (
         EarlyStopping(config.get("early_stopping_patience", 7)) if regime == "optimized" else None
     )
+    if resume_ck is not None:
+        # a resumed base run keeps its decayed LR scale; a resumed optimized
+        # run keeps its patience counter (round-2 gap: both restarted fresh)
+        _load_host_state(resume_ck, plateau, early)
+        if plateau is not None and plateau.scale != 1.0:
+            set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * plateau.scale)
     history = MetricsHistory()
     thru = ThroughputMeter()
     best_cider = float(resume_ck.get("best_cider", -1.0)) if resume_ck else -1.0
@@ -352,13 +411,16 @@ def fit(
         if plateau is not None:
             scale = plateau.step(cider)
             set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * scale)
+        # step the stopper BEFORE saving so the persisted patience counter
+        # includes this epoch (resume would otherwise forget it)
+        stop = early is not None and early.step(cider)
         if cider > best_cider:
             best_cider = cider
-            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider)
+            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider, plateau, early)
             print(f"  new best CIDEr {best_cider:.4f} -> best_model.ckpt")
         if config.get("save_every") and epoch % config["save_every"] == 0:
-            _save(os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.ckpt"), state, ema, config, epoch, scores, best_cider)
-        if early is not None and early.step(cider):
+            _save(os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.ckpt"), state, ema, config, epoch, scores, best_cider, plateau, early)
+        if stop:
             print(f"early stopping at epoch {epoch} (best CIDEr {early.best:.4f})")
             break
 
@@ -381,8 +443,18 @@ def fit(
     return test_scores
 
 
-def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, float]:
-    """SCST RL fine-tuning (train_*_scst_optimized.py)."""
+def fit_scst(
+    config: Dict[str, Any],
+    smoke: Optional[int] = None,
+    resume_from: Optional[str] = None,
+) -> Dict[str, float]:
+    """SCST RL fine-tuning (train_*_scst_optimized.py).
+
+    ``resume_from``: an SCST checkpoint for deterministic mid-run resume
+    (distinct from ``pretrained_checkpoint``, the XE warm start the reference
+    requires) — restores step/opt/EMA, best CIDEr, early-stop patience and
+    shuffle seeds, like ``fit``.
+    """
     t_start = time.time()
     vocab = Vocab.load(config["vocab_path"])
     train_loader, val_loader, test_loader = create_data_loaders(
@@ -470,11 +542,20 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
     logger = Logger(config.get("log_dir"), config.get("use_tensorboard", False))
     history = RLMetricsHistory()
     best_cider = -1.0
+    start_epoch = 1
+    if resume_from:
+        resume_ck = load_checkpoint(resume_from)
+        state = _restore_state(state, resume_ck, ema)
+        _load_host_state(resume_ck, early=early)
+        best_cider = float(resume_ck.get("best_cider", -1.0))
+        start_epoch = int(resume_ck.get("epoch", 0)) + 1
+        train_loader.epoch = start_epoch - 1  # align per-epoch shuffle seeds
+        print(f"resuming SCST from {resume_from} at epoch {start_epoch} (step {resume_ck.get('step')})")
     rng = jax.random.PRNGKey(config.get("seed", 42))
     eval_batches = (max(1, smoke // 2) if smoke else None)
 
     pysteps = 0
-    for epoch in range(1, num_epochs + 1):
+    for epoch in range(start_epoch, num_epochs + 1):
         meters = {k: AverageMeter() for k in ("loss", "sample_reward", "greedy_reward", "advantage")}
         if device_cider is not None:
             # Fused path: the loop body never blocks on the device — steps
@@ -523,16 +604,20 @@ def fit_scst(config: Dict[str, Any], smoke: Optional[int] = None) -> Dict[str, f
             max_len=max_len, max_batches=eval_batches, include_loss=False,
         )
         print(f"  val: {scores}")
+        # state.step counts micro-steps; optax.MultiSteps advances the schedule
+        # once per ACCUMULATED step, so divide by accum for the true LR.
         history.add(
             epoch, meters["sample_reward"].avg, meters["greedy_reward"].avg,
-            meters["advantage"].avg, scores, lr=float(sched(min(int(state.step), total_steps))),
+            meters["advantage"].avg, scores,
+            lr=float(sched(min(int(state.step) // accum, total_steps))),
         )
         history.append(loss=meters["loss"].avg)
         cider = scores.get("CIDEr", 0.0)
+        stop = early.step(cider)  # before save: persist this epoch's patience
         if cider > best_cider:
             best_cider = cider
-            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider)
-        if early.step(cider):
+            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider, early=early)
+        if stop:
             print(f"early stopping at epoch {epoch}")
             break
 

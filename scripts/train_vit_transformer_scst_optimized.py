@@ -10,8 +10,8 @@ from _common import apply_args, parse_args, print_config
 from image_caption_tpu.train.driver import fit_scst
 
 
-def train_scst_optimized(config, smoke=None):
-    return fit_scst(config, smoke=smoke)
+def train_scst_optimized(config, smoke=None, resume_from=None):
+    return fit_scst(config, smoke=smoke, resume_from=resume_from)
 
 
 if __name__ == "__main__":
@@ -51,4 +51,4 @@ if __name__ == "__main__":
     from image_caption_tpu.utils.logging import profiler_trace
 
     with profiler_trace(args.profile):
-        train_scst_optimized(config, smoke=args.smoke)
+        train_scst_optimized(config, smoke=args.smoke, resume_from=args.resume)

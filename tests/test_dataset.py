@@ -80,3 +80,28 @@ def test_loader_epoch_determinism(jpeg_corpus):
     b2 = list(b)
     for ba, bb in zip(a2, b2):
         np.testing.assert_array_equal(ba["caption"], bb["caption"])
+
+
+def test_loader_abandoned_epoch_cancels_prefetch(jpeg_corpus):
+    """Breaking out of an epoch must not block on in-flight prefetch work:
+    generator close cancels queued decodes (round-2 advisor finding — the old
+    `with ThreadPoolExecutor` blocked in shutdown(wait=True) at every boundary)."""
+    import time
+
+    mpath, paths = jpeg_corpus
+
+    class SlowDataset(CaptionDataset):
+        def __getitem__(self, i):
+            time.sleep(0.25)
+            return super().__getitem__(i)
+
+    ds = SlowDataset(mpath, vocab=VOCAB)
+    # 1 worker, deep prefetch: 5 single-item batches queued behind the first
+    loader = BatchLoader(ds, batch_size=1, num_workers=1, prefetch=4)
+    it = iter(loader)
+    next(it)
+    t0 = time.monotonic()
+    it.close()  # what `break` in a for-loop does
+    elapsed = time.monotonic() - t0
+    # worst case waits for ONE in-flight item (~0.25s), never the whole queue
+    assert elapsed < 1.0, f"abandoning the epoch blocked {elapsed:.2f}s"

@@ -95,3 +95,87 @@ def test_rl_metrics_history_dashboard(tmp_path):
     import json as J
     data = J.loads((tmp_path / "hist.json").read_text())
     assert len(data["CIDEr"]) == 3 and len(data["lr"]) == 3 and len(data["epoch"]) == 3
+
+
+def test_host_state_roundtrip():
+    """ReduceLROnPlateau + EarlyStopping survive the checkpoint (round-2 gap:
+    a resumed base run restarted at scale 1.0 and a resumed optimized run
+    forgot its patience counter)."""
+    import json
+
+    from image_caption_tpu.train.driver import _host_state, _load_host_state
+    from image_caption_tpu.train.optim import EarlyStopping
+    from image_caption_tpu.train.schedules import ReduceLROnPlateau
+
+    p = ReduceLROnPlateau(factor=0.5, patience=1)
+    for m in (1.0, 0.9, 0.8):  # two bad epochs -> decay
+        p.step(m)
+    assert p.scale == 0.5
+    e = EarlyStopping(patience=5)
+    e.step(1.0)
+    e.step(0.5)
+    assert e.counter == 1
+
+    blob = _host_state(p, e)
+    json.loads(blob)  # must be valid JSON (inf/None round-trip)
+    p2, e2 = ReduceLROnPlateau(factor=0.5, patience=1), EarlyStopping(patience=5)
+    _load_host_state({"host_state": blob}, p2, e2)
+    assert p2.state_dict() == p.state_dict()
+    assert e2.state_dict() == e.state_dict()
+
+
+def test_resume_restores_plateau_and_saves_host_state(tmp_path):
+    from image_caption_tpu.train.driver import fit
+    from image_caption_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = _smoke_config(tmp_path)
+    fit(cfg, regime="base", smoke=2)
+    ck = load_checkpoint(os.path.join(cfg["checkpoint_dir"], "checkpoint_epoch_2.ckpt"))
+    import json
+    hs = json.loads(ck["host_state"])
+    assert hs["plateau"] is not None and "scale" in hs["plateau"]
+
+
+def test_scst_resume(tmp_path):
+    """fit_scst accepts resume_from (the reference SCST ckpt saves scheduler
+    state, train_vit_transformer_scst_optimized.py:509-520); step counter and
+    best CIDEr continue; the logged LR accounts for grad accumulation."""
+    import json
+
+    from image_caption_tpu.train.driver import fit, fit_scst
+    from image_caption_tpu.train.schedules import warmup_cosine_schedule
+    from image_caption_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = _smoke_config(tmp_path)
+    fit(cfg, regime="base", smoke=2)
+    best = os.path.join(cfg["checkpoint_dir"], "best_model.ckpt")
+
+    scfg = _smoke_config(
+        tmp_path,
+        num_epochs=1,
+        pretrained_checkpoint=best,
+        checkpoint_dir=str(tmp_path / "scst"),
+        accumulation_steps=2,
+        learning_rate=5e-6,
+        warmup_ratio=0.1,
+        reward_type="cider",
+        use_augmentation=False,
+    )
+    fit_scst(scfg, smoke=2)
+    sck_path = os.path.join(scfg["checkpoint_dir"], "best_model.ckpt")
+    assert os.path.exists(sck_path)
+    sck = load_checkpoint(sck_path)
+    assert sck["step"] == 2  # 2 micro-steps
+    assert json.loads(sck["host_state"])["early"] is not None
+
+    # logged LR = schedule at ACCUMULATED steps (micro-steps // accum)
+    hist = json.loads(open(os.path.join(scfg["checkpoint_dir"], "metrics_history.json")).read())
+    total = 1 * max(2 // 2, 1)
+    sched = warmup_cosine_schedule(5e-6, int(total * 0.1), total)
+    assert hist["lr"][-1] == pytest.approx(float(sched(min(2 // 2, total))), rel=1e-6)
+
+    scfg2 = dict(scfg, num_epochs=2)
+    out = fit_scst(scfg2, smoke=2, resume_from=sck_path)
+    assert np.isfinite(out["best_cider"])
+    sck2 = load_checkpoint(sck_path)
+    assert sck2["step"] >= sck["step"]

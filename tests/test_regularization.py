@@ -57,3 +57,56 @@ def test_attention_prob_dropout_runs():
     assert out_eval.shape == x.shape
     out_train = m.apply(vars_, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
     assert not np.allclose(np.asarray(out_eval), np.asarray(out_train))
+
+
+def test_attention_prob_dropout_wired_into_layers():
+    """Training-mode attention varies under the dropout rng (torch MHA drops
+    softmax probabilities; reference trains every regime with dropout=0.1 inside
+    nn.TransformerDecoderLayer, vit_transformer_model.py:123-134); deterministic
+    mode is rng-independent and matches the no-dropout path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_caption_tpu.models.layers import CrossAttention, SelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    mem = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 32))
+
+    sa = SelfAttention(d_model=32, nhead=4, dropout=0.5)
+    v = sa.init({"params": jax.random.PRNGKey(2)}, x)
+    det1 = sa.apply(v, x, deterministic=True)
+    det2 = sa.apply(v, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+    o1 = sa.apply(v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)})
+    o2 = sa.apply(v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(4)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(det1), np.asarray(o1))
+
+    ca = CrossAttention(d_model=32, nhead=4, dropout=0.5)
+    vc = ca.init({"params": jax.random.PRNGKey(5)}, x, mem)
+    c_det = ca.apply(vc, x, mem, deterministic=True)
+    c1 = ca.apply(vc, x, mem, deterministic=False, rngs={"dropout": jax.random.PRNGKey(6)})
+    c2 = ca.apply(vc, x, mem, deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)})
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    assert not np.allclose(np.asarray(c_det), np.asarray(c1))
+
+
+def test_attention_prob_dropout_torch_scaling():
+    """Survivor probs are scaled by 1/(1-p): with everything else fixed the
+    expected value over rngs approximates the deterministic output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_caption_tpu.ops.attention import mha_reference
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 2, 8))
+    base = np.asarray(mha_reference(q, k, v))
+    outs = [
+        np.asarray(mha_reference(q, k, v, dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(100 + i)))
+        for i in range(400)
+    ]
+    np.testing.assert_allclose(np.mean(outs, axis=0), base, atol=0.12)

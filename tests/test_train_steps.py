@@ -233,3 +233,34 @@ def test_scst_fused_step_matches_host_reward_path(setup):
     for a, b in zip(ph, pf):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_eval_step_criterion_matches_regime(setup):
+    """Optimized-regime val loss must use the label-smoothing criterion
+    (reference validate scores with the training criterion,
+    train_vit_transformer_optimized.py:305, :396-402)."""
+    module, variables = setup
+    rng = np.random.default_rng(5)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    ce_step = S.make_eval_step(module, loss_kind="ce", pad_id=PAD)
+    ls_step = S.make_eval_step(module, loss_kind="label_smoothing", smoothing=0.1, pad_id=PAD)
+    ce_loss, _ = ce_step(variables, batch)
+    ls_loss, _ = ls_step(variables, batch)
+    assert float(ce_loss) != float(ls_loss)
+
+
+def test_eval_step_loss_invariant_under_batch_padding(setup):
+    """Rows padded with all-<pad> captions contribute zero tokens to the
+    pad-masked loss, so the padded-batch loss equals the ragged-batch loss
+    exactly (the driver pads the final eval batch to keep one compiled shape)."""
+    from image_caption_tpu.train.driver import _pad_batch
+
+    module, variables = setup
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng, b=3)
+    padded = _pad_batch(batch, 8, PAD)
+    assert padded["image"].shape[0] == 8 and padded["caption"].shape[0] == 8
+    eval_step = S.make_eval_step(module, pad_id=PAD)
+    loss_ragged, _ = eval_step(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+    loss_padded, _ = eval_step(variables, {k: jnp.asarray(v) for k, v in padded.items()})
+    np.testing.assert_allclose(float(loss_ragged), float(loss_padded), rtol=1e-6)
