@@ -76,6 +76,14 @@ def main():
     p50_b1_ms = float(np.median(lat)) * 1e3
 
     baseline_per_chip = 2000.0 / 8.0
+    # MFU accounting: throughput must be physically consistent with the chip
+    # (utils/flops.py; a number implying >100% of peak is a measurement bug).
+    from image_caption_tpu.utils import flops as F
+
+    device_kind = jax.devices()[0].device_kind
+    fpc = F.decode_flops("grid_transformer", config, gen_len=max_len)
+    achieved = fpc * captions_per_sec
+    mfu = F.mfu(fpc, captions_per_sec, device_kind)
     print(
         json.dumps(
             {
@@ -85,6 +93,10 @@ def main():
                 "vs_baseline": round(captions_per_sec / baseline_per_chip, 3),
                 "p50_ms_per_caption_b1": round(p50_b1_ms, 3),
                 "p50_ms_per_caption_amortized_b%d" % batch: round(dt * 1e3 / batch, 4),
+                "device": device_kind,
+                "gflops_per_caption": round(fpc / 1e9, 2),
+                "achieved_tflops": round(achieved / 1e12, 2),
+                "mfu": round(mfu, 3) if mfu is not None else None,
             }
         )
     )

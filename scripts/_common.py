@@ -26,6 +26,10 @@ def parse_args(description: str):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE", dest="overrides",
+        help="override any config key (value is python-literal-eval'd, falling back to string); repeatable",
+    )
     return p.parse_args()
 
 
@@ -67,6 +71,16 @@ def apply_args(config: dict, args) -> dict:
             config.update(num_encoder_layers=1, resnet_stages=(1, 1, 1, 1))
         else:
             config.update(vit_layers=2, vit_hidden=64, vit_heads=4, vit_mlp=128)
+    for kv in getattr(args, "overrides", []):
+        key, _, raw = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        import ast
+
+        try:
+            config[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            config[key] = raw
     return config
 
 

@@ -1,7 +1,18 @@
-"""Train-step micro-benchmark across batch sizes (the r1 'large-batch cliff').
+"""Train-step benchmark across batch sizes, with MFU accounting.
 
-Measures ms/step and samples/s for the full-size models at b=64/128/256 on the
-current backend, optionally capturing a jax.profiler trace per batch size.
+Measures ms/step and samples/s for the full-size models on the current
+backend, reporting the device kind, analytic FLOPs/sample and
+``MFU = achieved FLOPs / (time x chip peak)`` so a throughput that implies
+an impossible fraction of peak is caught at the source (round-2 lesson: the
+10-step timings shipped numbers exceeding the claimed chip's nominal peak
+with nothing to flag them).
+
+Two timing modes per batch size:
+- pipelined (default): N chained steps dispatched, block once at the end —
+  the real training-loop regime (steps depend on the previous state, so the
+  device still executes them sequentially; only host dispatch overlaps).
+- sync: block_until_ready after EVERY step — isolates per-step device time
+  from dispatch pipelining; the difference bounds the tunnel/dispatch cost.
 
     python scripts/bench_train_step.py --model grid_transformer
     python scripts/bench_train_step.py --model vit_transformer --profile /tmp/tr
@@ -26,9 +37,10 @@ def main():
     ap.add_argument("--model", default="grid_transformer",
                     choices=["grid_transformer", "vit_transformer"])
     ap.add_argument("--batches", default="64,128,256")
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--train-backbone", action="store_true",
                     help="benchmark the unfrozen phase (backbone takes gradients)")
+    ap.add_argument("--r-drop", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -44,6 +56,12 @@ def main():
     from image_caption_tpu.train import steps as S
     from image_caption_tpu.train.optim import EMA, make_optimizer
     from image_caption_tpu.train.schedules import warmup_cosine_schedule
+    from image_caption_tpu.utils import flops as F
+
+    device_kind = jax.devices()[0].device_kind
+    peak = F.device_peak_flops(device_kind)
+    print(f"# device: {device_kind} (bf16 peak {'%.0f TFLOP/s' % (peak / 1e12) if peak else 'unknown'})",
+          file=sys.stderr)
 
     config = dict(
         model_type=args.model, d_model=512, nhead=8, num_encoder_layers=6,
@@ -63,6 +81,10 @@ def main():
     step_fn = S.make_train_step(
         module, tx, loss_kind="label_smoothing", pad_id=0, augment="baseline",
         train_backbone=args.train_backbone, ema=ema,
+        r_drop_alpha=0.5 if args.r_drop else 0.0,
+    )
+    fps = F.train_step_flops(
+        args.model, config, train_backbone=args.train_backbone, r_drop=args.r_drop
     )
 
     rng_np = np.random.default_rng(0)
@@ -81,8 +103,16 @@ def main():
         state, m = step_fn(state, batch, rng)  # compile
         jax.block_until_ready(m["loss"])
 
-        def timed(n):
+        def timed(n, sync=False):
             nonlocal state
+            if sync:
+                per = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    state, m = step_fn(state, batch, rng)
+                    jax.block_until_ready(m["loss"])
+                    per.append(time.perf_counter() - t0)
+                return float(np.median(per))
             t0 = time.perf_counter()
             for _ in range(n):
                 state, m = step_fn(state, batch, rng)
@@ -95,11 +125,20 @@ def main():
                 timed(3)
             print(f"# trace -> {tdir}", file=sys.stderr)
         dt = timed(args.steps)
-        print(json.dumps({
+        dt_sync = timed(max(args.steps // 4, 10), sync=True)
+        sps = b / dt
+        rec = {
             "model": args.model, "batch": b, "train_backbone": args.train_backbone,
+            "device": device_kind,
             "ms_per_step": round(dt * 1e3, 2),
-            "samples_per_sec": round(b / dt, 1),
-        }))
+            "ms_per_step_sync": round(dt_sync * 1e3, 2),
+            "samples_per_sec": round(sps, 1),
+            "gflops_per_sample": round(fps / 1e9, 2),
+            "achieved_tflops": round(fps * sps / 1e12, 1),
+        }
+        if peak:
+            rec["mfu"] = round(fps * sps / peak, 3)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
