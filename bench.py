@@ -4,7 +4,15 @@ Measures the full inference path on the flagship grid model (ResNet-101 + 6-laye
 Transformer encoder + 6-layer decoder, d_model 512 — the reference's best model,
 CIDEr ~1.67): encode -> KV-cached greedy decode to max_len 52, batch 256, bf16.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing method (see utils/timing.py): on this tunneled backend
+``block_until_ready`` does NOT wait for device execution, so the benchmark
+chains k dependent decode iterations inside one jitted fori_loop (each
+iteration's input is perturbed by the previous iteration's token checksum) and
+times a true scalar fetch for two values of k — the slope is pure device time,
+with the ~35-40 ms tunnel round trip and dispatch cost cancelled.  MFU is
+reported against the chip's bf16 peak so an impossible number is self-flagging.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the BASELINE.json north star is >=2,000 captions/sec on a v5e-8 slice
 => 250 captions/sec/chip.  vs_baseline = measured / 250.
 """
@@ -23,6 +31,8 @@ def main():
     from image_caption_tpu.data.transforms import eval_preprocess
     from image_caption_tpu.decode import engine
     from image_caption_tpu.models.runtime import build_module
+    from image_caption_tpu.utils import flops as F
+    from image_caption_tpu.utils.timing import device_time
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
     max_len = 52
@@ -37,52 +47,42 @@ def main():
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
 
-    images_u8 = np.random.default_rng(0).integers(0, 255, size=(batch, 256, 256, 3), dtype=np.uint8)
-
-    @jax.jit
-    def caption_batch(variables, images_u8):
-        imgs = eval_preprocess(images_u8)
+    def body(i, s, variables, images_u8):
+        """fori_loop body: scalar carry -> scalar carry, full decode inside.
+        variables/images arrive as jit ARGUMENTS (closure constants of this
+        size overflow the tunnel's remote_compile request — utils/timing.py)."""
+        imgs = eval_preprocess(images_u8) + s * 1e-30  # carry dep: sequential exec
         memory = module.apply(variables, imgs, method=module.encode)
-        # end_id=-1 never matches, so the decode always runs the full max_len
-        # steps — worst-case honest throughput (random-init weights would
-        # otherwise emit <end> early and inflate the number).
-        return engine.greedy_decode(
+        # end_id=-1 never matches, so the decode always runs the full
+        # max_len steps — worst-case honest throughput.
+        tokens = engine.greedy_decode(
             module, variables, memory, start_id=107, end_id=-1, max_len=max_len
         )
+        return s * 1e-9 + jnp.sum(tokens).astype(jnp.float32)
 
-    # warmup / compile
-    toks = caption_batch(variables, images_u8)
-    toks.block_until_ready()
+    from image_caption_tpu.utils.timing import chain_scalar
 
-    # timed runs
-    runs = 5
-    times = []
-    for _ in range(runs):
+    rng_np = np.random.default_rng(0)
+    images_u8 = rng_np.integers(0, 255, size=(batch, 256, 256, 3), dtype=np.uint8)
+    per_decode = device_time(
+        body, variables, jnp.asarray(images_u8), iters=(2, 6), reps=3
+    )
+    captions_per_sec = batch / per_decode
+
+    # b=1: true device latency (slope) + end-to-end including the tunnel RTT
+    img1 = jnp.asarray(images_u8[:1])
+    b1_device = device_time(body, variables, img1, iters=(2, 10), reps=3)
+    run1 = chain_scalar(body)
+    e2e = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        caption_batch(variables, images_u8).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    captions_per_sec = batch / (sum(times) / runs)
-
-    # p50 per-image caption latency, b=1 (BASELINE.md tracked metric):
-    # the same jitted path at batch 1 — what a single interactive request sees.
-    img1 = images_u8[:1]
-    caption_batch(variables, img1).block_until_ready()  # compile b=1
-    lat = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        caption_batch(variables, img1).block_until_ready()
-        lat.append(time.perf_counter() - t0)
-    p50_b1_ms = float(np.median(lat)) * 1e3
+        float(run1(jnp.float32(0.0), jnp.int32(1), variables, img1))
+        e2e.append(time.perf_counter() - t0)
+    b1_e2e_ms = float(np.median(e2e)) * 1e3
 
     baseline_per_chip = 2000.0 / 8.0
-    # MFU accounting: throughput must be physically consistent with the chip
-    # (utils/flops.py; a number implying >100% of peak is a measurement bug).
-    from image_caption_tpu.utils import flops as F
-
     device_kind = jax.devices()[0].device_kind
     fpc = F.decode_flops("grid_transformer", config, gen_len=max_len)
-    achieved = fpc * captions_per_sec
     mfu = F.mfu(fpc, captions_per_sec, device_kind)
     print(
         json.dumps(
@@ -91,12 +91,14 @@ def main():
                 "value": round(captions_per_sec, 2),
                 "unit": "captions/sec",
                 "vs_baseline": round(captions_per_sec / baseline_per_chip, 3),
-                "p50_ms_per_caption_b1": round(p50_b1_ms, 3),
-                "p50_ms_per_caption_amortized_b%d" % batch: round(dt * 1e3 / batch, 4),
+                "ms_per_batch_device": round(per_decode * 1e3, 2),
+                "p50_ms_per_caption_b1_device": round(b1_device * 1e3, 3),
+                "p50_ms_per_caption_b1_e2e_tunnel": round(b1_e2e_ms, 1),
                 "device": device_kind,
                 "gflops_per_caption": round(fpc / 1e9, 2),
-                "achieved_tflops": round(achieved / 1e12, 2),
+                "achieved_tflops": round(fpc * captions_per_sec / 1e12, 2),
                 "mfu": round(mfu, 3) if mfu is not None else None,
+                "timing": "chained-iteration slope w/ value fetch (block_until_ready is a no-op on this tunneled backend)",
             }
         )
     )

@@ -3,8 +3,13 @@
 Covers the round-2 gaps: beam search (the reference's flagship inference
 feature, inference_vit_transformer.py:227-251 / vit:327-420) had zero perf
 evidence, and the b=1 interactive path never touched the flash-decoding
-kernel.  All A/B comparisons interleave single runs pairwise in ONE process
-(chip noise is +-10% between processes — CLAUDE.md).
+kernel.
+
+Timing (utils/timing.py): ``block_until_ready`` is a no-op on this tunneled
+backend, so each measurement chains k dependent decodes inside one jitted
+fori_loop (input perturbed by the previous iteration's token checksum) and
+times a true scalar fetch at two values of k — the slope is pure device time.
+Kernel A/B runs interleaved fetch pairs in ONE process.
 
     python scripts/bench_decode.py                 # greedy + beam, kernel A/B
     python scripts/bench_decode.py --batches 1,8,64,256 --beam 5
@@ -27,10 +32,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batches", default="1,64,256")
     ap.add_argument("--beam", type=int, default=5)
-    ap.add_argument("--runs", type=int, default=10, help="interleaved A/B pairs")
+    ap.add_argument("--reps", type=int, default=5, help="interleaved fetch pairs per k")
     ap.add_argument("--max-len", type=int, default=52)
     ap.add_argument("--model", default="grid_transformer",
                     choices=["grid_transformer", "vit_transformer"])
+    ap.add_argument("--modes", default="greedy,beam")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -44,7 +50,6 @@ def main():
     from image_caption_tpu.data.transforms import eval_preprocess
     from image_caption_tpu.decode import engine
     from image_caption_tpu.models.runtime import build_module
-    from image_caption_tpu.ops import decode_attention as DA
     from image_caption_tpu.utils import flops as F
 
     device_kind = jax.devices()[0].device_kind
@@ -62,56 +67,73 @@ def main():
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
 
-    def make_fn(method):
-        @jax.jit
-        def fn(variables, images_u8):
-            imgs = eval_preprocess(images_u8)
-            memory = module.apply(variables, imgs, method=module.encode)
-            # end_id=-1 never matches: full-length decode, worst-case honest
-            return engine.generate(
-                module, variables, memory, start_id=107, end_id=-1,
-                max_len=max_len, method=method, beam_size=args.beam,
-            )
-        return fn
+    def make_chain(method):
+        """jitted DYNAMIC-k chained decode ending in a scalar (true dependency);
+        one tunnel compile serves every k.  variables/images are jit ARGUMENTS
+        (big closure constants overflow the tunnel's remote_compile request)."""
 
-    greedy_fn, beam_fn = make_fn("greedy"), make_fn("beam_search")
+        @jax.jit
+        def run(seed, k, variables, images_u8):
+            def body(i, s):
+                imgs = eval_preprocess(images_u8) + s * 1e-30
+                memory = module.apply(variables, imgs, method=module.encode)
+                tokens = engine.generate(
+                    module, variables, memory, start_id=107, end_id=-1,
+                    max_len=max_len, method=method, beam_size=args.beam,
+                )
+                return s * 1e-9 + jnp.sum(tokens).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, k, body, seed)
+
+        return run
+
+    def fetch(run, k, images):
+        t0 = time.perf_counter()
+        float(run(jnp.float32(0.0), jnp.int32(k), variables, images))
+        return time.perf_counter() - t0
+
     rng_np = np.random.default_rng(0)
+    modes = []
+    if "greedy" in args.modes:
+        modes.append(("greedy", "greedy"))
+    if "beam" in args.modes:
+        modes.append((f"beam{args.beam}", "beam_search"))
 
     for b in (int(x) for x in args.batches.split(",")):
-        images = rng_np.integers(0, 255, size=(b, 256, 256, 3), dtype=np.uint8)
-        for mode, fn in (("greedy", greedy_fn), ("beam%d" % args.beam, beam_fn)):
-            # kernel A/B: toggle via env var BEFORE each trace; interleaved
-            times = {"pallas": [], "xla": []}
-            for variant in times:  # compile both variants first
+        images = jnp.asarray(rng_np.integers(0, 255, size=(b, 256, 256, 3), dtype=np.uint8))
+        k1, k2 = (2, 6) if b >= 64 else (2, 10)
+        for mode, method in modes:
+            runs = {}
+            for variant in ("pallas", "xla"):
                 os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
-                fn_v = make_fn("greedy" if mode == "greedy" else "beam_search")
-                jax.block_until_ready(fn_v(variables, images))
-                times[variant + "_fn"] = fn_v  # type: ignore[index]
-            for _ in range(args.runs):
-                for variant in ("pallas", "xla"):
-                    os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
-                    fn_v = times[variant + "_fn"]
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(fn_v(variables, images))
-                    times[variant].append(time.perf_counter() - t0)
-            p50 = {v: float(np.median(times[v])) * 1e3 for v in ("pallas", "xla")}
-            wins = sum(a < x for a, x in zip(times["pallas"], times["xla"]))
-            caps = b / (p50["pallas"] / 1e3)
+                runs[variant] = make_chain(method)
+                fetch(runs[variant], k1, images)  # compile + warm under the right dispatch
+            times = {v: ([], []) for v in runs}
+            for _ in range(args.reps):  # interleaved: p k1, x k1, p k2, x k2
+                for ki, k in ((0, k1), (1, k2)):
+                    for v in ("pallas", "xla"):
+                        times[v][ki].append(fetch(runs[v], k, images))
+            out = {}
+            for v in ("pallas", "xla"):
+                t1, t2 = min(times[v][0]), min(times[v][1])
+                out[v] = max((t2 - t1) / (k2 - k1), 1e-9)
             fpc = F.decode_flops(args.model, config, gen_len=max_len)
-            eff = args.beam if mode != "greedy" else 1
+            eff = args.beam if method == "beam_search" else 1
+            caps = b / out["pallas"]
             rec = {
                 "mode": mode, "batch": b, "device": device_kind,
-                "p50_ms_pallas": round(p50["pallas"], 2),
-                "p50_ms_xla": round(p50["xla"], 2),
-                "pallas_wins": f"{wins}/{args.runs}",
+                "ms_device_pallas": round(out["pallas"] * 1e3, 2),
+                "ms_device_xla": round(out["xla"] * 1e3, 2),
+                "pallas_speedup": round(out["xla"] / out["pallas"], 3),
                 "captions_per_sec": round(caps, 1),
                 "gflops_per_caption_min": round(fpc / 1e9, 2),
-                "note": "beam decodes B*K sequences" if eff > 1 else "",
             }
             mfu = F.mfu(fpc * eff, caps, device_kind)
             if mfu is not None:
                 rec["mfu_lower_bound"] = round(mfu, 3)
-            print(json.dumps(rec))
+            if eff > 1:
+                rec["note"] = "decodes B*%d beam sequences" % args.beam
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

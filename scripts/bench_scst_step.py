@@ -75,16 +75,27 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     if device_cider is not None:
-        acc = S.init_scst_acc()
-        pack = device_cider.pack(refs)
-        state, acc = step(state, jb, pack, rng, acc)  # compile
-        jax.block_until_ready(acc["loss"])
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            pack = device_cider.pack(refs)  # host work, overlaps device
-            state, acc = step(state, jb, pack, rng, acc)
-        jax.block_until_ready(acc["loss"])
-        dt = (time.perf_counter() - t0) / args.steps
+        # block_until_ready is a no-op on this tunneled backend (CLAUDE.md) —
+        # only a VALUE fetch synchronizes, and each fetch pays ~35-40 ms RTT.
+        # Time n1 and n2 step loops ending in a float(acc) fetch; the slope is
+        # the true per-step time (host pack + device step, RTT cancelled).
+        def run_n(n):
+            # fresh deep copy each call: the fused step DONATES its state, so
+            # reusing the outer `state` buffers after a donation would crash
+            st = jax.tree_util.tree_map(jnp.array, state)
+            acc = S.init_scst_acc()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                pack = device_cider.pack(refs)  # host work, overlaps device
+                st, acc = step(st, jb, pack, rng, acc)
+            float(acc["loss"])  # true sync
+            return time.perf_counter() - t0
+
+        run_n(1)  # compile + warm
+        n1, n2 = max(args.steps // 5, 1), args.steps
+        t1 = min(run_n(n1) for _ in range(3))
+        t2 = min(run_n(n2) for _ in range(3))
+        dt = (t2 - t1) / (n2 - n1)
     else:
         state, m = step(state, jb, refs, rng)  # compile
         t0 = time.perf_counter()

@@ -7,12 +7,14 @@ an impossible fraction of peak is caught at the source (round-2 lesson: the
 10-step timings shipped numbers exceeding the claimed chip's nominal peak
 with nothing to flag them).
 
-Two timing modes per batch size:
-- pipelined (default): N chained steps dispatched, block once at the end —
-  the real training-loop regime (steps depend on the previous state, so the
-  device still executes them sequentially; only host dispatch overlaps).
-- sync: block_until_ready after EVERY step — isolates per-step device time
-  from dispatch pipelining; the difference bounds the tunnel/dispatch cost.
+Timing method (utils/timing.py): on this tunneled backend
+``block_until_ready`` does NOT wait for device execution (round-2's
+impossible numbers came exactly from that), so k1 and k2 train steps are
+chained inside one jitted fori_loop ending in a scalar that depends on the
+final params, a true value fetch synchronizes, and the slope
+(t(k2)-t(k1))/(k2-k1) is pure device time — tunnel RTT and dispatch cancel.
+``ms_per_step_e2e`` additionally reports one step + scalar fetch end-to-end
+(what a per-step-syncing host loop would see through the ~35-40 ms tunnel).
 
     python scripts/bench_train_step.py --model grid_transformer
     python scripts/bench_train_step.py --model vit_transformer --profile /tmp/tr
@@ -100,38 +102,44 @@ def main():
             "length": jnp.full((b,), 52, dtype=jnp.int32),
         }
         rng = jax.random.PRNGKey(1)
-        state, m = step_fn(state, batch, rng)  # compile
-        jax.block_until_ready(m["loss"])
 
-        def timed(n, sync=False):
-            nonlocal state
-            if sync:
-                per = []
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    state, m = step_fn(state, batch, rng)
-                    jax.block_until_ready(m["loss"])
-                    per.append(time.perf_counter() - t0)
-                return float(np.median(per))
+        @jax.jit
+        def run(state, batch, k):
+            # dynamic trip count: ONE tunnel compile serves every k; batch is
+            # an ARGUMENT (closure constants that big overflow remote_compile)
+            def body(i, st):
+                st, _ = step_fn(st, batch, rng)
+                return st
+
+            st = jax.lax.fori_loop(0, k, body, state)
+            # scalar that depends on the FINAL params: forces the whole
+            # chain to execute before the fetch returns (each step's loss
+            # depends on every param of the previous step)
+            return jnp.sum(jax.tree_util.tree_leaves(st.params)[0]).astype(jnp.float32)
+
+        k1, k2 = max(args.steps // 10, 2), args.steps
+
+        def fetch_time(k):
             t0 = time.perf_counter()
-            for _ in range(n):
-                state, m = step_fn(state, batch, rng)
-            jax.block_until_ready(m["loss"])
-            return (time.perf_counter() - t0) / n
+            float(run(state, batch, jnp.int32(k)))
+            return time.perf_counter() - t0
 
+        fetch_time(k1)  # compile + warm
         if args.profile:
             tdir = os.path.join(args.profile, f"{args.model}_b{b}")
             with jax.profiler.trace(tdir):
-                timed(3)
+                fetch_time(k1)
             print(f"# trace -> {tdir}", file=sys.stderr)
-        dt = timed(args.steps)
-        dt_sync = timed(max(args.steps // 4, 10), sync=True)
+        t1 = min(fetch_time(k1) for _ in range(3))
+        t2 = min(fetch_time(k2) for _ in range(3))
+        dt = (t2 - t1) / (k2 - k1)
+        e2e = min(fetch_time(1) for _ in range(3))
         sps = b / dt
         rec = {
             "model": args.model, "batch": b, "train_backbone": args.train_backbone,
             "device": device_kind,
             "ms_per_step": round(dt * 1e3, 2),
-            "ms_per_step_sync": round(dt_sync * 1e3, 2),
+            "ms_per_step_e2e": round(e2e * 1e3, 2),
             "samples_per_sec": round(sps, 1),
             "gflops_per_sample": round(fps / 1e9, 2),
             "achieved_tflops": round(fps * sps / 1e12, 1),
