@@ -65,3 +65,27 @@ def test_peak_table():
     assert F.device_peak_flops("warp9") is None
     assert F.mfu(1e9, 1000.0, "TPU v5 lite") == pytest.approx(1e12 / 197e12)
     assert F.mfu(1e9, 1000.0, "unknown") is None
+
+
+def test_device_time_slope_scales_with_work():
+    """device_time (utils/timing.py) must return per-iteration time that
+    scales ~linearly with the work inside the body (the slope method's basic
+    sanity; on CPU block semantics are normal, so this validates the
+    dependency chaining + dynamic trip count machinery)."""
+    from image_caption_tpu.utils.timing import device_time
+
+    x = jnp.ones((256, 256), jnp.float32)
+
+    def small(i, s, x):
+        return s * 1e-9 + jnp.sum(x @ x) * 1e-20
+
+    def big(i, s, x):
+        y = x
+        for _ in range(8):
+            y = y @ x * (1.0 / 256.0)
+        return s * 1e-9 + jnp.sum(y) * 1e-20
+
+    t_small = device_time(small, x, iters=(2, 30), reps=2)
+    t_big = device_time(big, x, iters=(2, 30), reps=2)
+    assert t_small >= 0.0
+    assert t_big > t_small  # 8x the matmuls must take measurably longer
