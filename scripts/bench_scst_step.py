@@ -96,6 +96,11 @@ def main():
         t1 = min(run_n(n1) for _ in range(3))
         t2 = min(run_n(n2) for _ in range(3))
         dt = (t2 - t1) / (n2 - n1)
+        if dt <= 0:
+            sys.exit(
+                f"slope {dt * 1e3:.2f} ms/step is inside the tunnel RTT jitter — "
+                f"re-run with a larger --steps (got {args.steps})"
+            )
     else:
         state, m = step(state, jb, refs, rng)  # compile
         t0 = time.perf_counter()
