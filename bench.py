@@ -34,7 +34,9 @@ def main():
     from image_caption_tpu.utils import flops as F
     from image_caption_tpu.utils.timing import device_time
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
+    # Default b=64: the measured throughput sweet spot (PERF.md — 4x the batch
+    # costs 4.5x the time at these shapes, so b=64 beats b=256 on caps/sec).
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 64
     max_len = 52
     config = dict(
         model_type="grid_transformer", d_model=512, nhead=8, num_encoder_layers=6,
