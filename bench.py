@@ -48,6 +48,12 @@ def main():
         {"params": rng, "dropout": rng},
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
+    # Production inference weight stream: bf16 pre-cast of every param the
+    # model consumes in bf16 anyway — bit-identical tokens (tests/
+    # test_precision.py), half the 101 MB/step decoder weight read.
+    from image_caption_tpu.utils.precision import bf16_inference_variables
+
+    variables = bf16_inference_variables(variables)
 
     def body(i, s, variables, images_u8):
         """fori_loop body: scalar carry -> scalar carry, full decode inside.

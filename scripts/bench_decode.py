@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--model", default="grid_transformer",
                     choices=["grid_transformer", "vit_transformer"])
     ap.add_argument("--modes", default="greedy,beam")
+    ap.add_argument("--ab", default="pallas", choices=["pallas", "weights"],
+                    help="A/B axis: Pallas-vs-XLA kernel, or bf16-vs-f32 weight stream "
+                         "(utils/precision.py; bit-identical tokens)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -87,9 +90,18 @@ def main():
 
         return run
 
-    def fetch(run, k, images):
+    from image_caption_tpu.utils.precision import bf16_inference_variables
+
+    variables_bf16 = bf16_inference_variables(variables)
+    # The production decode path ships the bf16 weight stream (bit-identical
+    # tokens, half the per-step weight traffic); the pallas/xla A/B uses it on
+    # both arms so the kernel comparison stays single-variable.
+    varmap = {"pallas": variables_bf16, "xla": variables_bf16,
+              "bf16": variables_bf16, "f32": variables}
+
+    def fetch(run, k, images, variant):
         t0 = time.perf_counter()
-        float(run(jnp.float32(0.0), jnp.int32(k), variables, images))
+        float(run(jnp.float32(0.0), jnp.int32(k), varmap[variant], images))
         return time.perf_counter() - t0
 
     rng_np = np.random.default_rng(0)
@@ -103,28 +115,31 @@ def main():
         images = jnp.asarray(rng_np.integers(0, 255, size=(b, 256, 256, 3), dtype=np.uint8))
         k1, k2 = (2, 6) if b >= 64 else (2, 10)
         for mode, method in modes:
+            variants = ("pallas", "xla") if args.ab == "pallas" else ("bf16", "f32")
             runs = {}
-            for variant in ("pallas", "xla"):
-                os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
+            for variant in variants:
+                if args.ab == "pallas":
+                    os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
                 runs[variant] = make_chain(method)
-                fetch(runs[variant], k1, images)  # compile + warm under the right dispatch
+                fetch(runs[variant], k1, images, variant)  # compile + warm under the right dispatch
             times = {v: ([], []) for v in runs}
-            for _ in range(args.reps):  # interleaved: p k1, x k1, p k2, x k2
+            for _ in range(args.reps):  # interleaved: a k1, b k1, a k2, b k2
                 for ki, k in ((0, k1), (1, k2)):
-                    for v in ("pallas", "xla"):
-                        times[v][ki].append(fetch(runs[v], k, images))
+                    for v in variants:
+                        times[v][ki].append(fetch(runs[v], k, images, v))
             out = {}
-            for v in ("pallas", "xla"):
+            for v in variants:
                 t1, t2 = min(times[v][0]), min(times[v][1])
                 out[v] = max((t2 - t1) / (k2 - k1), 1e-9)
             fpc = F.decode_flops(args.model, config, gen_len=max_len)
             eff = args.beam if method == "beam_search" else 1
-            caps = b / out["pallas"]
+            fast, slow = variants
+            caps = b / out[fast]
             rec = {
                 "mode": mode, "batch": b, "device": device_kind,
-                "ms_device_pallas": round(out["pallas"] * 1e3, 2),
-                "ms_device_xla": round(out["xla"] * 1e3, 2),
-                "pallas_speedup": round(out["xla"] / out["pallas"], 3),
+                f"ms_device_{fast}": round(out[fast] * 1e3, 2),
+                f"ms_device_{slow}": round(out[slow] * 1e3, 2),
+                f"{fast}_speedup": round(out[slow] / out[fast], 3),
                 "captions_per_sec": round(caps, 1),
                 "gflops_per_caption_min": round(fpc / 1e9, 2),
             }

@@ -22,8 +22,10 @@ def load_model(model_path: str, vocab_size: int):
 
     if model_path.endswith(".pth"):
         from image_caption_tpu.utils.port_torch import load_reference_checkpoint
+        from image_caption_tpu.utils.precision import bf16_inference_variables
 
         cap, config, _ = load_reference_checkpoint(model_path)
+        cap.variables = bf16_inference_variables(cap.variables)
         return cap, config
     ck = load_checkpoint(model_path)
     config = ck.get("config", {})
@@ -41,6 +43,11 @@ def load_model(model_path: str, vocab_size: int):
         "batch_stats": restore_into(template.get("batch_stats", {}), ck.get("batch_stats", {}))
         if ck.get("batch_stats") else template.get("batch_stats", {}),
     }
+    # Inference-only handle: pre-cast the bf16-consumed params (bit-identical
+    # tokens, half the per-decode-step weight traffic — utils/precision.py).
+    from image_caption_tpu.utils.precision import bf16_inference_variables
+
+    variables = bf16_inference_variables(variables)
     return Captioner(module, variables, config), config
 
 
