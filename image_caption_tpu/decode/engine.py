@@ -64,7 +64,7 @@ def _apply_fns(model, variables) -> Tuple[Callable, StepFn]:
     return init_cache, step
 
 
-@functools.partial(jax.jit, static_argnames=("model", "start_id", "end_id", "max_len"))
+@functools.partial(jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "unroll"))
 def greedy_decode(
     model,
     variables,
@@ -73,16 +73,27 @@ def greedy_decode(
     start_id: int,
     end_id: int,
     max_len: int = 50,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Batched greedy decode from precomputed memory. Returns int32 [B, max_len].
 
     Positions after global termination are <pad> (0); callers recover true lengths
     with ``sequence_lengths``.
+
+    ``unroll`` runs that many token steps per ``while_loop`` iteration to
+    amortize the loop's fixed per-iteration cost (the step itself is
+    latency-bound, PERF.md).  Output is identical for any value: finished rows
+    keep receiving argmax tokens until the global early-exit either way (the
+    reference loop's behavior — text decoding stops at the first <end>), so
+    checking the exit every ``unroll`` steps instead of every step cannot
+    change a caption, only run up to ``unroll-1`` extra steps.
     """
     init_cache, step = _apply_fns(model, variables)
     b = memory.shape[0]
     cache = init_cache(memory, max_len)
-    tokens = jnp.zeros((b, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
+    # Up to unroll-1 writes can land past max_len; give them scratch columns
+    # and slice back at the end.
+    tokens = jnp.zeros((b, max_len + unroll - 1), dtype=jnp.int32).at[:, 0].set(start_id)
     cur = jnp.full((b,), start_id, dtype=jnp.int32)
     finished = jnp.zeros((b,), dtype=bool)
 
@@ -92,14 +103,17 @@ def greedy_decode(
 
     def body(state):
         idx, tokens, cache, cur, finished = state
-        logits, cache = step(cur, cache, idx)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tokens = tokens.at[:, idx + 1].set(nxt)
-        finished = finished | (nxt == end_id)
-        return idx + 1, tokens, cache, nxt, finished
+        for _ in range(unroll):
+            logits, cache = step(cur, cache, idx)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens = tokens.at[:, idx + 1].set(nxt)
+            finished = finished | (nxt == end_id)
+            cur = nxt
+            idx = idx + 1
+        return idx, tokens, cache, cur, finished
 
     _, tokens, _, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens, cache, cur, finished))
-    return tokens
+    return tokens[:, :max_len]
 
 
 @functools.partial(

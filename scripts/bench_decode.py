@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--model", default="grid_transformer",
                     choices=["grid_transformer", "vit_transformer"])
     ap.add_argument("--modes", default="greedy,beam")
-    ap.add_argument("--ab", default="pallas", choices=["pallas", "weights"],
-                    help="A/B axis: Pallas-vs-XLA kernel, or bf16-vs-f32 weight stream "
-                         "(utils/precision.py; bit-identical tokens)")
+    ap.add_argument("--ab", default="pallas", choices=["pallas", "weights", "unroll"],
+                    help="A/B axis: Pallas-vs-XLA kernel, bf16-vs-f32 weight stream "
+                         "(utils/precision.py; bit-identical tokens), or greedy loop "
+                         "unroll 2-vs-1 (identical captions; greedy mode only)")
+    ap.add_argument("--unroll", type=int, default=2, help="unroll factor for --ab unroll")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -70,7 +72,7 @@ def main():
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
 
-    def make_chain(method):
+    def make_chain(method, unroll=1):
         """jitted DYNAMIC-k chained decode ending in a scalar (true dependency);
         one tunnel compile serves every k.  variables/images are jit ARGUMENTS
         (big closure constants overflow the tunnel's remote_compile request)."""
@@ -80,10 +82,18 @@ def main():
             def body(i, s):
                 imgs = eval_preprocess(images_u8) + s * 1e-30
                 memory = module.apply(variables, imgs, method=module.encode)
-                tokens = engine.generate(
-                    module, variables, memory, start_id=107, end_id=-1,
-                    max_len=max_len, method=method, beam_size=args.beam,
-                )
+                if method == "encode":  # encode-only: isolates the decode loop's share
+                    return s * 1e-9 + jnp.sum(memory).astype(jnp.float32)
+                if method == "greedy":
+                    tokens = engine.greedy_decode(
+                        module, variables, memory, start_id=107, end_id=-1,
+                        max_len=max_len, unroll=unroll,
+                    )
+                else:
+                    tokens = engine.generate(
+                        module, variables, memory, start_id=107, end_id=-1,
+                        max_len=max_len, method=method, beam_size=args.beam,
+                    )
                 return s * 1e-9 + jnp.sum(tokens).astype(jnp.float32)
 
             return jax.lax.fori_loop(0, k, body, seed)
@@ -101,11 +111,14 @@ def main():
 
     def fetch(run, k, images, variant):
         t0 = time.perf_counter()
-        float(run(jnp.float32(0.0), jnp.int32(k), varmap[variant], images))
+        # unroll variants ("uN") run the production bf16 stream on both arms
+        float(run(jnp.float32(0.0), jnp.int32(k), varmap.get(variant, variables_bf16), images))
         return time.perf_counter() - t0
 
     rng_np = np.random.default_rng(0)
     modes = []
+    if "encode" in args.modes:
+        modes.append(("encode", "encode"))
     if "greedy" in args.modes:
         modes.append(("greedy", "greedy"))
     if "beam" in args.modes:
@@ -115,12 +128,20 @@ def main():
         images = jnp.asarray(rng_np.integers(0, 255, size=(b, 256, 256, 3), dtype=np.uint8))
         k1, k2 = (2, 6) if b >= 64 else (2, 10)
         for mode, method in modes:
-            variants = ("pallas", "xla") if args.ab == "pallas" else ("bf16", "f32")
+            if args.ab == "pallas":
+                variants = ("pallas", "xla")
+            elif args.ab == "weights":
+                variants = ("bf16", "f32")
+            else:
+                if method != "greedy":
+                    continue  # unroll is a greedy_decode knob
+                variants = (f"u{args.unroll}", "u1")
             runs = {}
             for variant in variants:
                 if args.ab == "pallas":
                     os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
-                runs[variant] = make_chain(method)
+                unroll = int(variant[1:]) if variant.startswith("u") and args.ab == "unroll" else 1
+                runs[variant] = make_chain(method, unroll=unroll)
                 fetch(runs[variant], k1, images, variant)  # compile + warm under the right dispatch
             times = {v: ([], []) for v in runs}
             for _ in range(args.reps):  # interleaved: a k1, b k1, a k2, b k2
@@ -140,9 +161,14 @@ def main():
                 f"ms_device_{fast}": round(out[fast] * 1e3, 2),
                 f"ms_device_{slow}": round(out[slow] * 1e3, 2),
                 f"{fast}_speedup": round(out[slow] / out[fast], 3),
+            }
+            if mode == "encode":
+                print(json.dumps(rec), flush=True)
+                continue
+            rec.update({
                 "captions_per_sec": round(caps, 1),
                 "gflops_per_caption_min": round(fpc / 1e9, 2),
-            }
+            })
             mfu = F.mfu(fpc * eff, caps, device_kind)
             if mfu is not None:
                 rec["mfu_lower_bound"] = round(mfu, 3)

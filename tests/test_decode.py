@@ -67,6 +67,28 @@ def test_greedy_matches_naive(decoder_and_vars):
     np.testing.assert_array_equal(fast[:, :L], naive)
 
 
+@pytest.mark.parametrize("unroll", [2, 3, 5])
+def test_greedy_unroll_identical_captions(decoder_and_vars, unroll):
+    """Unrolled loop checks the early-exit every `unroll` steps — captions must be
+    identical up to each row's first <end> (positions after it are reference-
+    undefined: the baseline pads them once ALL rows finish, the unrolled loop may
+    run up to unroll-1 extra argmax steps first)."""
+    dec, vars_, mem = decoder_and_vars
+    max_len = 13
+    base = np.asarray(
+        engine.greedy_decode(dec, vars_, mem, start_id=START, end_id=END, max_len=max_len)
+    )
+    out = np.asarray(
+        engine.greedy_decode(
+            dec, vars_, mem, start_id=START, end_id=END, max_len=max_len, unroll=unroll
+        )
+    )
+    assert out.shape == base.shape
+    lengths = np.asarray(engine.sequence_lengths(jnp.asarray(base), END))
+    for r in range(base.shape[0]):
+        np.testing.assert_array_equal(out[r, : lengths[r]], base[r, : lengths[r]])
+
+
 def _naive_beam(dec, vars_, mem_row, max_len, beam_size, stop_when_harvested):
     """Reference beam semantics (vit:327-420), list-based, batch of 1."""
     mem = jnp.repeat(mem_row[None], beam_size, axis=0)
