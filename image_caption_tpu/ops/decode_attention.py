@@ -151,8 +151,8 @@ def _decode_attention_pallas(q, k_cache, v_cache, index, *, nheads, interpret=Fa
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tile_b, hd), lambda i, idx: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # K cache stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # V cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # K cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V cache stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_b, hd), lambda i, idx: (i, 0)),
         scratch_shapes=[
