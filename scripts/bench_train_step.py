@@ -44,6 +44,9 @@ def main():
                     help="benchmark the unfrozen phase (backbone takes gradients)")
     ap.add_argument("--r-drop", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR")
+    ap.add_argument("--split", action="store_true",
+                    help="also time the step's slices (augment / +encode fwd / "
+                         "full fwd loss) to attribute the ms_per_step")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -146,6 +149,40 @@ def main():
         }
         if peak:
             rec["mfu"] = round(fps * sps / peak, 3)
+
+        if args.split:
+            from image_caption_tpu.data.transforms import train_augment
+            from image_caption_tpu.train.steps import make_eval_step
+            from image_caption_tpu.utils.timing import device_time
+
+            eval_step = make_eval_step(module, loss_kind="label_smoothing", pad_id=0)
+
+            def _perturb(images_u8, s):
+                # Thread the loop carry into the INPUT so XLA cannot hoist the
+                # slice's work out of the fori_loop as loop-invariant.
+                return images_u8 + (jnp.int32(s % 7.0) % 2).astype(jnp.uint8)
+
+            def aug_only(i, s, variables, batch):
+                key = jax.random.fold_in(rng, jnp.int32(s % 1024.0))
+                imgs = train_augment(key, _perturb(batch["image"], s))
+                return s * 1e-9 + jnp.sum(imgs).astype(jnp.float32)
+
+            def aug_encode(i, s, variables, batch):
+                key = jax.random.fold_in(rng, jnp.int32(s % 1024.0))
+                imgs = train_augment(key, _perturb(batch["image"], s))
+                mem = module.apply(variables, imgs, method=module.encode)
+                return s * 1e-9 + jnp.sum(mem).astype(jnp.float32)
+
+            def fwd_loss(i, s, variables, batch):
+                b2 = dict(batch, image=_perturb(batch["image"], s))
+                loss, _ = eval_step(variables, b2)  # eval path: preprocess+fwd+loss
+                return s * 1e-9 + loss
+
+            ks = (2, max(args.steps // 10, 6))
+            for name, fn in (("augment", aug_only), ("augment+encode_fwd", aug_encode),
+                             ("preprocess+fwd_loss", fwd_loss)):
+                dt_s = device_time(fn, variables, batch, iters=ks, reps=3)
+                rec[f"ms_{name}"] = round(dt_s * 1e3, 2)
         print(json.dumps(rec))
 
 
