@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--train-backbone", action="store_true",
                     help="benchmark the unfrozen phase (backbone takes gradients)")
     ap.add_argument("--r-drop", action="store_true")
+    ap.add_argument("--dropout", type=float, default=0.1,
+                    help="model dropout rate (0 isolates RNG/dropout cost)")
+    ap.add_argument("--rng-impl", default="threefry2x32",
+                    choices=["threefry2x32", "rbg"],
+                    help="PRNG for dropout masks (rbg = TPU-native hardware RNG)")
     ap.add_argument("--profile", default=None, metavar="DIR")
     ap.add_argument("--split", action="store_true",
                     help="also time the step's slices (augment / +encode fwd / "
@@ -70,7 +75,7 @@ def main():
 
     config = dict(
         model_type=args.model, d_model=512, nhead=8, num_encoder_layers=6,
-        num_decoder_layers=6, dim_feedforward=2048, dropout=0.1, max_len=54,
+        num_decoder_layers=6, dim_feedforward=2048, dropout=args.dropout, max_len=54,
     )
     module = build_module(109, config)
     key = jax.random.PRNGKey(0)
@@ -104,7 +109,7 @@ def main():
             "caption": jnp.asarray(cap),
             "length": jnp.full((b,), 52, dtype=jnp.int32),
         }
-        rng = jax.random.PRNGKey(1)
+        rng = jax.random.PRNGKey(1, impl=args.rng_impl)
 
         @jax.jit
         def run(state, batch, k):
