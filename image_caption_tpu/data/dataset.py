@@ -31,6 +31,10 @@ from image_caption_tpu.data.vocab import Vocab
 
 CANVAS = 256
 
+# DCT-domain JPEG downscale during decode (see _load_image_canvas); opt out
+# with ICT_NO_JPEG_DRAFT=1 to decode at full resolution.
+_JPEG_DRAFT = os.environ.get("ICT_NO_JPEG_DRAFT", "0") != "1"
+
 
 def _load_image_canvas(path: str, canvas: int = CANVAS, strict: bool = False) -> np.ndarray:
     """JPEG -> uint8 [canvas, canvas, 3]: resize shorter side to canvas, center-crop.
@@ -47,6 +51,17 @@ def _load_image_canvas(path: str, canvas: int = CANVAS, strict: bool = False) ->
         from PIL import Image
 
         with Image.open(path) as im:
+            if _JPEG_DRAFT and (im.format or "").upper() == "JPEG":
+                # libjpeg DCT-domain downscale: decode directly at 1/2, 1/4 or
+                # 1/8 scale (never below the requested size), so a DeepFashion
+                # 750x1101 JPEG is decoded at 375x551 instead of full size —
+                # measured ~2x the single-core img/s (scripts/bench_host_pipeline.py
+                # --ab draft).  The subsequent BILINEAR resize to the canvas
+                # absorbs the box-filtered intermediate; pixel deltas vs the
+                # full decode are a fraction of the on-device augmentation
+                # noise (tests/test_dataset.py::test_jpeg_draft_decode).
+                # ICT_NO_JPEG_DRAFT=1 restores the full-resolution decode.
+                im.draft("RGB", (canvas, canvas))
             im = im.convert("RGB")
             w, h = im.size
             if w <= h:

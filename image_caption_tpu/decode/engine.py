@@ -77,20 +77,28 @@ def greedy_decode(
 ) -> jnp.ndarray:
     """Batched greedy decode from precomputed memory. Returns int32 [B, max_len].
 
-    Positions after global termination are <pad> (0); callers recover true lengths
-    with ``sequence_lengths``.
+    With ``unroll=1`` (the shipped default), positions after global termination
+    are <pad> (0).  With ``unroll>1`` up to ``unroll-1`` positions after the
+    global finish may contain argmax tokens (the extra steps of the final loop
+    iteration) — *captions* are still identical because text decoding stops at
+    the first <end>; callers comparing raw token arrays or relying on trailing
+    pad must use ``sequence_lengths`` or unroll=1.
 
     ``unroll`` runs that many token steps per ``while_loop`` iteration to
     amortize the loop's fixed per-iteration cost (the step itself is
-    latency-bound, PERF.md).  Output is identical for any value: finished rows
-    keep receiving argmax tokens until the global early-exit either way (the
-    reference loop's behavior — text decoding stops at the first <end>), so
+    latency-bound, PERF.md).  Finished rows keep receiving argmax tokens until
+    the global early-exit either way (the reference loop's behavior), so
     checking the exit every ``unroll`` steps instead of every step cannot
     change a caption, only run up to ``unroll-1`` extra steps.
     """
+    if unroll < 1:
+        raise ValueError(f"unroll must be >= 1, got {unroll}")
     init_cache, step = _apply_fns(model, variables)
     b = memory.shape[0]
-    cache = init_cache(memory, max_len)
+    # The last loop iteration can run steps at idx up to max_len+unroll-2;
+    # size the cache for them so the KV scatter / kernel prefetch index never
+    # exceeds the allocated (BLK-rounded) cache length.
+    cache = init_cache(memory, max_len + unroll - 1)
     # Up to unroll-1 writes can land past max_len; give them scratch columns
     # and slice back at the end.
     tokens = jnp.zeros((b, max_len + unroll - 1), dtype=jnp.int32).at[:, 0].set(start_id)

@@ -53,6 +53,12 @@ class PositionalEncoding(nn.Module):
 
 
 def _dense(features: int, name: str, policy: DTypePolicy) -> nn.Dense:
+    # NOTE: these module names ("qkv", "out", "q_proj", "kv_proj", "linear1",
+    # "linear2", ...) are matched BY NAME in utils/precision.py::_BF16_MODULES
+    # to pre-cast their params to bf16 for inference.  If you add or rename a
+    # Dense here — or reuse one of those names for a module that computes in
+    # f32 — update _BF16_MODULES and tests/test_precision.py in the same
+    # change, or the cast silently changes numerics.
     return nn.Dense(features, name=name, param_dtype=policy.param_dtype, dtype=policy.compute_dtype)
 
 

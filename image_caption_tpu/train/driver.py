@@ -176,7 +176,12 @@ def _load_host_state(ck: Dict[str, Any], plateau=None, early=None) -> None:
         early.load_state_dict(hs["early"])
 
 
-def _save(path, state, ema, config, epoch, scores, best_cider, plateau=None, early=None):
+def _config_meta(config):
+    return {k: v for k, v in config.items() if isinstance(v, (int, float, str, bool, list, tuple, type(None)))}
+
+
+def _full_payload(state, ema, config, epoch, scores, best_cider, plateau=None, early=None):
+    """Full resume payload: raw params + optimizer + EMA shadow + host state."""
     from flax import serialization as _ser
 
     payload = {
@@ -189,11 +194,59 @@ def _save(path, state, ema, config, epoch, scores, best_cider, plateau=None, ear
         "opt_state": _ser.to_state_dict(state.opt_state),
         "best_cider": float(best_cider),
         "scores": {k: float(v) for k, v in scores.items()},
-        "config": {k: v for k, v in config.items() if isinstance(v, (int, float, str, bool, list, tuple, type(None)))},
+        "config": _config_meta(config),
     }
     if state.ema is not None:
         payload["ema_shadow"] = state.ema.shadow
-    save_checkpoint(path, payload)
+    return payload
+
+
+def _slim_payload(state, ema, config, epoch, scores, best_cider):
+    """Inference-only best payload (params + config + scores) — what
+    scripts/inference.py needs to rebuild and run the model; ~4x smaller than
+    the full resume state (no raw params / optimizer moments / EMA shadow).
+    Resume uses the rolling ``resume_state.ckpt`` instead."""
+    return {
+        "slim": True,
+        "epoch": epoch,
+        "params": _variables_of(state, ema)["params"],
+        "batch_stats": state.batch_stats,
+        "best_cider": float(best_cider),
+        "scores": {k: float(v) for k, v in scores.items()},
+        "config": _config_meta(config),
+    }
+
+
+class _AsyncSaver:
+    """Background checkpoint writer: the device->host fetch, msgpack encode and
+    disk write (the 1.8 GB/epoch critical-path cost flagged in round 3) overlap
+    the next epoch's compute.  ``submit`` joins the previous write first, so at
+    most one write is in flight and writes land in submission order; payloads
+    snapshot immutable jax trees plus host scalars materialized at submit time,
+    so later mutation of plateau/early/state cannot race the writer."""
+
+    def __init__(self):
+        self._thread = None
+        self.blocked_s = 0.0
+
+    def submit(self, path: str, payload: Dict[str, Any]) -> None:
+        import threading
+
+        self.wait()
+        t = threading.Thread(target=save_checkpoint, args=(path, payload), daemon=True)
+        t.start()
+        self._thread = t
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            t0 = time.time()
+            self._thread.join()
+            self._thread = None
+            self.blocked_s += time.time() - t0
+
+
+def _save(path, state, ema, config, epoch, scores, best_cider, plateau=None, early=None):
+    save_checkpoint(path, _full_payload(state, ema, config, epoch, scores, best_cider, plateau, early))
 
 
 def _restore_state(state: S.TrainState, ck: Dict[str, Any], ema) -> S.TrainState:
@@ -201,6 +254,12 @@ def _restore_state(state: S.TrainState, ck: Dict[str, Any], ema) -> S.TrainState
     step counter."""
     from flax import serialization as _ser
 
+    if ck.get("slim") or ("raw_params" not in ck and ck.get("opt_state") is None):
+        raise ValueError(
+            "checkpoint is a slim inference payload (no raw_params/opt_state); "
+            "resume from the rolling resume_state.ckpt (written every epoch) or a "
+            "periodic checkpoint_epoch_N.ckpt instead"
+        )
     params = restore_into(state.params, ck.get("raw_params", ck["params"]))
     new = state.replace(
         step=jnp.asarray(ck.get("step", 0), dtype=jnp.int32),
@@ -339,6 +398,7 @@ def fit(
             set_learning_rate(state.opt_state, config.get("learning_rate", 1e-4) * plateau.scale)
     history = MetricsHistory()
     thru = ThroughputMeter()
+    saver = _AsyncSaver()
     best_cider = float(resume_ck.get("best_cider", -1.0)) if resume_ck else -1.0
     unfreeze_epoch = config.get("unfreeze_epoch")
     max_len = config.get("max_len", 52)
@@ -416,14 +476,21 @@ def fit(
         stop = early is not None and early.step(cider)
         if cider > best_cider:
             best_cider = cider
-            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider, plateau, early)
+            saver.submit(os.path.join(ckpt_dir, "best_model.ckpt"),
+                         _slim_payload(state, ema, config, epoch, scores, best_cider))
             print(f"  new best CIDEr {best_cider:.4f} -> best_model.ckpt")
+        # Rolling full resume state, once per epoch, off the critical path.
+        saver.submit(os.path.join(ckpt_dir, "resume_state.ckpt"),
+                     _full_payload(state, ema, config, epoch, scores, best_cider, plateau, early))
         if config.get("save_every") and epoch % config["save_every"] == 0:
-            _save(os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.ckpt"), state, ema, config, epoch, scores, best_cider, plateau, early)
+            saver.submit(os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.ckpt"),
+                         _full_payload(state, ema, config, epoch, scores, best_cider, plateau, early))
         if stop:
             print(f"early stopping at epoch {epoch} (best CIDEr {early.best:.4f})")
             break
 
+    saver.wait()
+    print(f"checkpoint writes blocked the epoch loop {saver.blocked_s:.1f}s total (background writer)")
     history.plot_and_save(ckpt_dir)
     history.plot_combined(ckpt_dir)
     history.save_json(os.path.join(ckpt_dir, "metrics_history.json"))
@@ -541,6 +608,7 @@ def fit_scst(
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = Logger(config.get("log_dir"), config.get("use_tensorboard", False))
     history = RLMetricsHistory()
+    saver = _AsyncSaver()
     best_cider = -1.0
     start_epoch = 1
     if resume_from:
@@ -616,11 +684,15 @@ def fit_scst(
         stop = early.step(cider)  # before save: persist this epoch's patience
         if cider > best_cider:
             best_cider = cider
-            _save(os.path.join(ckpt_dir, "best_model.ckpt"), state, ema, config, epoch, scores, best_cider, early=early)
+            saver.submit(os.path.join(ckpt_dir, "best_model.ckpt"),
+                         _slim_payload(state, ema, config, epoch, scores, best_cider))
+        saver.submit(os.path.join(ckpt_dir, "resume_state.ckpt"),
+                     _full_payload(state, ema, config, epoch, scores, best_cider, early=early))
         if stop:
             print(f"early stopping at epoch {epoch}")
             break
 
+    saver.wait()
     # 8-panel RL dashboard + text summary, reference filename
     # (train_vit_transformer_scst_optimized.py:537-540)
     history.plot_and_save(os.path.join(ckpt_dir, "scst_optimized_training_metrics.png"))

@@ -27,6 +27,11 @@ from typing import Any, Dict
 import jax.numpy as jnp
 from flax import traverse_util
 
+# Matched by BARE MODULE NAME — this set is coupled to the module names in
+# models/layers.py::_dense (see the note there), models/vit.py, models/encoders.py
+# and models/resnet.py.  A future f32-computing module that reuses one of these
+# names would be silently cast; the bitwise tests in tests/test_precision.py are
+# the guard and must be extended with any new model type.
 # Module names whose kernel/bias are consumed in compute_dtype (bf16):
 # - transformer blocks: SelfAttention.qkv/out, CrossAttention.q_proj/kv_proj/out,
 #   FeedForward.linear1/linear2 (models/layers.py::_dense)

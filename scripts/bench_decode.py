@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=2, help="unroll factor for --ab unroll")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.ab == "unroll" and args.unroll < 2:
+        ap.error("--ab unroll needs --unroll >= 2 (unroll=1 would A/B a variant against itself)")
     if args.cpu:
         from image_caption_tpu.utils.platform import force_cpu
 

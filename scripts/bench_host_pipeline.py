@@ -41,26 +41,32 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--workers", default="1,4")
     ap.add_argument("--corpus", default="/tmp/ict_jpeg_corpus")
+    ap.add_argument("--ab", default="", choices=["", "draft"],
+                    help="'draft': A/B the DCT-domain JPEG downscale on/off per worker count")
     args = ap.parse_args()
 
-    from image_caption_tpu.data.dataset import BatchLoader, CaptionDataset
+    from image_caption_tpu.data import dataset as D
 
     manifest = build_corpus(args.corpus, args.images)
     vocab = {"<pad>": 0, "a": 1, "b": 2, "<unk>": 106, "<start>": 107, "<end>": 108}
-    ds = CaptionDataset(manifest=manifest, vocab=vocab, max_len=50)
+    ds = D.CaptionDataset(manifest=manifest, vocab=vocab, max_len=50)
 
+    variants = [True, False] if args.ab == "draft" else [D._JPEG_DRAFT]
     for nw in (int(x) for x in args.workers.split(",")):
-        loader = BatchLoader(ds, batch_size=args.batch_size, num_workers=nw)
-        next(iter(loader))  # warm page cache
-        t0 = time.perf_counter()
-        n = 0
-        for batch in loader:
-            n += batch["image"].shape[0]
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "num_workers": nw, "images": n, "imgs_per_sec": round(n / dt, 1),
-            "ms_per_img": round(dt / n * 1e3, 3),
-        }))
+        for draft in variants:
+            D._JPEG_DRAFT = draft
+            loader = D.BatchLoader(ds, batch_size=args.batch_size, num_workers=nw)
+            next(iter(loader))  # warm page cache
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += batch["image"].shape[0]
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "num_workers": nw, "jpeg_draft": draft, "images": n,
+                "imgs_per_sec": round(n / dt, 1),
+                "ms_per_img": round(dt / n * 1e3, 3),
+            }))
 
 
 if __name__ == "__main__":

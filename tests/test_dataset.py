@@ -57,6 +57,36 @@ def test_jpeg_decode_resize_semantics(jpeg_corpus, tmp_path):
     np.testing.assert_array_equal(img, arr[:, 128:384, :])
 
 
+def test_jpeg_draft_decode(tmp_path):
+    """DCT-domain draft decode (default on): same canvas shape, pixels within a
+    few gray levels of the full-resolution decode on photo-like (low-frequency)
+    content — far below the on-device augmentation noise (random crop/jitter)."""
+    from PIL import Image
+
+    from image_caption_tpu.data import dataset as D
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 255, size=(1101 // 8, 750 // 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "photo.jpg")
+    Image.fromarray(base).resize((750, 1101), Image.BILINEAR).save(p, quality=85)
+
+    old = D._JPEG_DRAFT
+    try:
+        D._JPEG_DRAFT = True
+        fast = _load_image_canvas(p)
+        D._JPEG_DRAFT = False
+        full = _load_image_canvas(p)
+    finally:
+        D._JPEG_DRAFT = old
+    assert fast.shape == full.shape == (256, 256, 3)
+    # Measured on this corpus: mean ~3.8, p99 ~15, max 26 of 255 — vs the
+    # training augmentation's color jitter alone (brightness/contrast ±40% ≈
+    # ±100 levels, transforms.py).  Bound it with headroom.
+    delta = np.abs(fast.astype(np.int32) - full.astype(np.int32))
+    assert delta.mean() < 6.0
+    assert np.percentile(delta, 99) <= 20
+
+
 def test_loader_real_jpegs_parallel_matches_serial(jpeg_corpus):
     mpath, _ = jpeg_corpus
     ds = CaptionDataset(mpath, vocab=VOCAB, max_len=6)

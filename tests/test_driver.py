@@ -38,6 +38,7 @@ def _smoke_config(tmp_path, **over):
     return cfg
 
 
+@pytest.mark.slow
 def test_fit_and_resume(tmp_path):
     from image_caption_tpu.train.driver import fit
     from image_caption_tpu.utils.checkpoint import load_checkpoint
@@ -50,6 +51,16 @@ def test_fit_and_resume(tmp_path):
     assert ck["epoch"] == 2 and ck["step"] == 4
     assert "opt_state" in ck and "raw_params" in ck and "config" in ck
 
+    # best_model.ckpt is slim (inference payload) and refuses resume fast;
+    # the rolling resume_state.ckpt carries the full state
+    best = load_checkpoint(os.path.join(cfg["checkpoint_dir"], "best_model.ckpt"))
+    assert best.get("slim") and "opt_state" not in best
+    rs = load_checkpoint(os.path.join(cfg["checkpoint_dir"], "resume_state.ckpt"))
+    assert rs["epoch"] == 2 and "opt_state" in rs and "raw_params" in rs
+    with pytest.raises(ValueError, match="slim"):
+        fit(_smoke_config(tmp_path, num_epochs=3), regime="base", smoke=2,
+            resume_from=os.path.join(cfg["checkpoint_dir"], "best_model.ckpt"))
+
     # resume for 1 more epoch; step counter continues from 4
     cfg2 = _smoke_config(tmp_path, num_epochs=3)
     fit(cfg2, regime="base", smoke=2, resume_from=ck_path)
@@ -57,6 +68,7 @@ def test_fit_and_resume(tmp_path):
     assert ck3["epoch"] == 3 and ck3["step"] == 6
 
 
+@pytest.mark.slow
 def test_scst_from_xe_checkpoint(tmp_path):
     from image_caption_tpu.train.driver import fit, fit_scst
 
@@ -124,6 +136,7 @@ def test_host_state_roundtrip():
     assert e2.state_dict() == e.state_dict()
 
 
+@pytest.mark.slow
 def test_resume_restores_plateau_and_saves_host_state(tmp_path):
     from image_caption_tpu.train.driver import fit
     from image_caption_tpu.utils.checkpoint import load_checkpoint
@@ -136,6 +149,7 @@ def test_resume_restores_plateau_and_saves_host_state(tmp_path):
     assert hs["plateau"] is not None and "scale" in hs["plateau"]
 
 
+@pytest.mark.slow
 def test_scst_resume(tmp_path):
     """fit_scst accepts resume_from (the reference SCST ckpt saves scheduler
     state, train_vit_transformer_scst_optimized.py:509-520); step counter and
@@ -162,7 +176,13 @@ def test_scst_resume(tmp_path):
         use_augmentation=False,
     )
     fit_scst(scfg, smoke=2)
-    sck_path = os.path.join(scfg["checkpoint_dir"], "best_model.ckpt")
+    # best_model.ckpt is now the slim inference payload; the full resume state
+    # rolls in resume_state.ckpt every epoch (round-3 weak #4: 1.8 GB best
+    # writes sat on the epoch critical path).
+    best_path = os.path.join(scfg["checkpoint_dir"], "best_model.ckpt")
+    best = load_checkpoint(best_path)
+    assert best.get("slim") and "opt_state" not in best and "raw_params" not in best
+    sck_path = os.path.join(scfg["checkpoint_dir"], "resume_state.ckpt")
     assert os.path.exists(sck_path)
     sck = load_checkpoint(sck_path)
     assert sck["step"] == 2  # 2 micro-steps

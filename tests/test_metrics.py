@@ -327,41 +327,39 @@ def test_bleu_golden_counts():
         np.testing.assert_allclose(per[k], [expected[k]], rtol=1e-9)
 
 
-def test_meteor_synonym_divergence_quantified():
-    """Quantify the documented jar divergence (no WordNet synonym/paraphrase
-    modules) ON THE DEEPFASHION VOCAB rather than asserting it's negligible.
-
-    The 105-word vocab contains exactly four WordNet synonym classes beyond
-    what exact+stem already matches: {man,guy,gentleman}, {woman,lady,female},
-    {pants,trousers}, {clothes,clothing}.  Simulating the jar's synonym module
-    (weight 0.8) over real val caption pairs measures the score shift the
-    missing module could cause; PARITY.md records the measured figures
-    (mean +0.004, p95 0.022, max 0.057 over 299 pairs).
+def test_meteor_synonym_module_closes_jar_divergence():
+    """The synonym module (weight 0.8, third matcher stage) is now SHIPPED —
+    this test independently simulates the jar's module on top of a two-stage
+    (exact+stem) alignment over real val caption pairs and asserts the shipped
+    scorer reproduces it to ~0 (round-3 measured the missing-module divergence
+    at mean +0.0038 / p95 0.022 / max 0.057 over these 299 pairs; that gap is
+    closed).  Also audits that the default table covers every WordNet synonym
+    class present in the 105-word vocab: {man,guy,gentleman},
+    {woman,lady,female}, {pants,trousers}, {clothes,clothing}.
     """
     import json
 
-    from image_caption_tpu.eval.meteor import Meteor, _align
+    from image_caption_tpu.eval.meteor import SYNONYM_CLASSES, Meteor, _align
 
-    syn_classes = [
-        {"man", "guy", "gentleman"},
-        {"woman", "lady", "female"},
-        {"pants", "trousers"},
-        {"clothes", "clothing"},
-    ]
-    syn = {w: ci for ci, cls in enumerate(syn_classes) for w in cls}
+    syn = {w: ci for ci, cls in enumerate(SYNONYM_CLASSES) for w in cls}
     SYN_W = 0.8
 
     vocab = json.load(open("/root/reference/data/vocab.json"))
+    # audit: the default table's words all exist in the vocab (no dead entries)
+    assert set(syn) <= set(vocab), sorted(set(syn) - set(vocab))
+    assert len(SYNONYM_CLASSES) == 4
     inv = {v: k for k, v in vocab.items()}
     data = json.load(open("/root/reference/data/val_data.json"))
     caps = [
         [inv[i] for i in ids if inv[i] not in ("<start>", "<end>", "<pad>")]
         for ids in data["CAPTIONS"][:300]
     ]
-    m = Meteor()
+    m = Meteor()  # shipped scorer: exact+stem+synonym
+    m2 = Meteor(synonyms={})  # synonym module disabled (round-3 behavior)
 
-    def syn_score(hyp, ref):
-        matches, _ = _align(hyp, ref)
+    def jar_sim_score(hyp, ref):
+        """The jar's synonym pass simulated over the two-stage alignment."""
+        matches, _ = _align(hyp, ref, synonyms={})
         used_h = {i for i, _, _ in matches}
         used_r = {j for _, j, _ in matches}
         extra = []
@@ -389,7 +387,18 @@ def test_meteor_synonym_divergence_quantified():
         return f * (1 - m.gamma * (chunks / n_match) ** m.beta)
 
     pairs = [(caps[i], caps[i + 1]) for i in range(0, len(caps) - 1, 2)]
-    deltas = np.array([syn_score(h, r) - m._score_one(h, [r]) for h, r in pairs])
-    assert np.all(deltas > -1e-9)  # the module can only add matches
-    assert deltas.mean() < 0.01, f"synonym-module divergence grew: mean {deltas.mean():.4f}"
-    assert deltas.max() < 0.10, f"synonym-module divergence grew: max {deltas.max():.4f}"
+    shipped = np.array([m._score_one(h, [r]) for h, r in pairs])
+    no_syn = np.array([m2._score_one(h, [r]) for h, r in pairs])
+    sim = np.array([jar_sim_score(h, r) for h, r in pairs])
+
+    # the module can only add matches relative to exact+stem
+    assert np.all(shipped - no_syn > -1e-9)
+    # the shipped third stage reproduces the simulated jar module to ~0
+    # (residual: the sim appends greedy first-unused pairs while the shipped
+    # stage picks closest-position pairs, which can differ in chunk count)
+    resid = np.abs(shipped - sim)
+    assert resid.mean() < 1e-3, f"synonym stage diverges from jar sim: mean {resid.mean():.5f}"
+    assert resid.max() < 0.02, f"synonym stage diverges from jar sim: max {resid.max():.5f}"
+    # and the previously-documented missing-module gap is actually exercised
+    # by these pairs (the module changes some scores)
+    assert (shipped - no_syn).max() > 0.01

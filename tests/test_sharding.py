@@ -169,6 +169,7 @@ def test_shard_batch_matches_process_local_assembly():
     np.testing.assert_array_equal(np.asarray(via_put), np.asarray(via_local))
 
 
+@pytest.mark.slow
 def test_multihost_two_process_dcn_seam():
     """The multi-process branch EXECUTES for real: 2 spawned processes (CPU
     backend, gloo collectives, localhost coordinator) build one global 8-device
