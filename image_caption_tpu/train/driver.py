@@ -218,12 +218,15 @@ def _slim_payload(state, ema, config, epoch, scores, best_cider):
 
 
 class _AsyncSaver:
-    """Background checkpoint writer: the device->host fetch, msgpack encode and
-    disk write (the 1.8 GB/epoch critical-path cost flagged in round 3) overlap
-    the next epoch's compute.  ``submit`` joins the previous write first, so at
-    most one write is in flight and writes land in submission order; payloads
-    snapshot immutable jax trees plus host scalars materialized at submit time,
-    so later mutation of plateau/early/state cannot race the writer."""
+    """Background checkpoint writer: msgpack encode + disk write (the bulk of
+    the 1.8 GB/epoch critical-path cost flagged in round 3) overlap the next
+    epoch's compute.  The device->host fetch happens synchronously in
+    ``submit`` — it must: the train step donates the state buffers, so a
+    background fetch of ``state`` races the next epoch's first step
+    (use-after-donate; observed as a backend InvalidArgument crash on the
+    tunneled TPU).  Fetching also snapshots host scalars, so later mutation of
+    plateau/early/state cannot race the writer.  ``submit`` joins the previous
+    write first: at most one write in flight, writes land in order."""
 
     def __init__(self):
         self._thread = None
@@ -232,6 +235,12 @@ class _AsyncSaver:
     def submit(self, path: str, payload: Dict[str, Any]) -> None:
         import threading
 
+        def fetch(v):
+            return np.asarray(v) if isinstance(v, jax.Array) else v
+
+        t0 = time.time()
+        payload = {k: jax.tree_util.tree_map(fetch, v) for k, v in payload.items()}
+        self.blocked_s += time.time() - t0
         self.wait()
         t = threading.Thread(target=save_checkpoint, args=(path, payload), daemon=True)
         t.start()
