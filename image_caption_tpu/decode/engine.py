@@ -64,6 +64,101 @@ def _apply_fns(model, variables) -> Tuple[Callable, StepFn]:
     return init_cache, step
 
 
+def _fused_spec(model, variables) -> Optional[dict]:
+    """Kernel-compatibility check for the fused decode path.
+
+    The fused whole-step kernel (ops/fused_decode.py) serves any
+    CaptioningModel whose decoder matches the standard geometry: head_dim a
+    lane-tileable 64+ and params under ``params/decoder``.  Single-device TPU
+    only — under a multi-device mesh XLA cannot auto-partition a pallas_call,
+    so sharded decode keeps the layerwise XLA path.
+    """
+    import os
+
+    if os.environ.get("ICT_FUSED_DECODE", "1") != "1":
+        return None
+    if os.environ.get("ICT_DISABLE_PALLAS", "0") == "1":
+        return None
+    try:
+        if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    d = getattr(model, "d_model", None)
+    h = getattr(model, "nhead", None)
+    layers = getattr(model, "num_decoder_layers", None)
+    vocab = getattr(model, "vocab_size", None)
+    if not all(isinstance(v, int) for v in (d, h, layers, vocab)):
+        return None
+    if d % 128 != 0 or d % h != 0 or (d // h) % 64 != 0:
+        return None
+    params = variables.get("params", {})
+    if "decoder" not in params or "layer_0" not in params["decoder"]:
+        return None
+    return dict(num_layers=layers, d_model=d, nhead=h, vocab=vocab)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "interpret")
+)
+def fused_greedy_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Greedy decode through the fused whole-step kernel (ops/fused_decode.py):
+    ONE pallas_call per token instead of ~60 XLA ops.  Same contract and (for
+    unroll=1) same output as ``greedy_decode``; tokens are argmax-identical up
+    to float-noise ties (PERF.md records the on-TPU identity measurement)."""
+    from image_caption_tpu.ops import fused_decode as F
+
+    spec = dict(
+        num_layers=model.num_decoder_layers, d_model=model.d_model,
+        nhead=model.nhead, vocab=model.vocab_size,
+    )
+    b, s, d = memory.shape
+    bp = -(-b // 16) * 16
+    mem = jnp.pad(memory, ((0, bp - b), (0, 0), (0, 0))) if bp != b else memory
+    dec_params = variables["params"]["decoder"]
+    vpad = -(-spec["vocab"] // 128) * 128
+    weights = F.pack_weights(
+        dec_params, num_layers=spec["num_layers"], d_model=d,
+        vocab_size=spec["vocab"], padded_vocab=vpad, max_len=max_len,
+    )
+    ck, cv, s_len = F.pack_cross_kv(dec_params, mem, num_layers=spec["num_layers"])
+    kc, vc = F.init_fused_cache(bp, max_len, d, spec["num_layers"])
+
+    tokens = jnp.zeros((bp, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
+    cur = jnp.full((bp,), start_id, dtype=jnp.int32)
+    # padded rows are born finished so they never delay the global early exit
+    finished = jnp.arange(bp) >= b
+
+    def cond(state):
+        idx, _, _, _, _, finished = state
+        return (idx < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        idx, tokens, kc, vc, cur, finished = state
+        _, nxt, kc, vc = F.fused_decode_step(
+            cur, kc, vc, ck, cv, weights, idx,
+            num_layers=spec["num_layers"], nheads=spec["nhead"],
+            s_len=s_len, vocab=spec["vocab"], interpret=interpret,
+        )
+        tokens = tokens.at[:, idx + 1].set(nxt)
+        finished = finished | (nxt == end_id)
+        return idx + 1, tokens, kc, vc, nxt, finished
+
+    _, tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, kc, vc, cur, finished)
+    )
+    return tokens[:b]
+
+
 @functools.partial(jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "unroll"))
 def greedy_decode(
     model,
@@ -93,6 +188,11 @@ def greedy_decode(
     """
     if unroll < 1:
         raise ValueError(f"unroll must be >= 1, got {unroll}")
+    if unroll == 1 and _fused_spec(model, variables) is not None:
+        # TPU fast path: one fused pallas_call per token (ops/fused_decode.py)
+        return fused_greedy_decode(
+            model, variables, memory, start_id=start_id, end_id=end_id, max_len=max_len
+        )
     init_cache, step = _apply_fns(model, variables)
     b = memory.shape[0]
     # The last loop iteration can run steps at idx up to max_len+unroll-2;

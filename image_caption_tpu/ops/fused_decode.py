@@ -1,0 +1,525 @@
+"""Fused greedy-decode step: the ENTIRE token step in one Pallas kernel.
+
+Round-3 profiling (PERF.md "Where the time goes") showed the 52-step decode
+loop bounded by per-op dispatch latency: ~60 small XLA ops per step cost
+~0.34 ms while the analytic HBM-traffic bound is ~0.1 ms.  Neither traffic
+reduction (flash-decoding kernel, bf16 weight stream) nor loop unrolling
+moved it, because the op COUNT was the bottleneck.  This kernel removes it:
+one ``pallas_call`` per token computes
+
+    token embedding (+PE)  ->  6 x [qkv -> cached flash self-attn ->
+    cross-attn over memory -> FFN, each + residual + post-LN]  ->
+    f32 vocab head -> argmax
+
+with the self-attention KV caches updated IN PLACE (aliased HBM buffers, the
+new K/V row DMA'd to position ``index``), decoder weights streamed HBM->VMEM
+per weight-kind behind a semaphore pipeline (weights do not fit VMEM: ~44 MB
+bf16 vs ~16 MB; each kind's next-layer DMA starts right after its last use,
+overlapping the rest of the layer's compute), and the self-attn cache loop
+fetching only blocks at positions < index (the same dynamic-trip-count DMA
+loop as ops/decode_attention.py).  Batches larger than one 64-row tile loop
+tiles INSIDE the kernel, layer-major, so weights are still read exactly once
+per step.
+
+Numerics mirror the XLA path op-for-op so greedy tokens match:
+- every Dense: bf16 x bf16 matmul, f32 accumulate, round to bf16, add bf16
+  bias (what flax Dense + XLA emit)
+- embedding: ``bf16(embed_f32 * sqrt(d))`` rows are precomputed at pack time,
+  so the in-kernel one-hot matmul reproduces the gather bit-exactly; the PE
+  row adds in bf16 (models/decoder.py::_embed)
+- LayerNorm: flax recipe in f32 — mu, mu2, var = max(0, mu2 - mu^2),
+  y = (x - mu) * (rsqrt(var + eps) * scale) + bias
+- attention: f32 scores/softmax statistics; probabilities stay f32 in the PV
+  accumulation (same choice as the flash-decoding kernel — strictly more
+  accurate than mha_reference's bf16-probs cast); 1/sqrt(Dh) scale
+- vocab head: f32 input x f32 weights, padded columns forced to -1e30
+  (decoder.py::_logits), argmax ties break toward the lower index
+
+Reduction orders (LayerNorm sums, online vs full softmax) can differ from
+XLA at float-noise level; on-TPU token identity vs the layerwise path is
+asserted empirically in tests/bench (PERF.md records the measured rate).
+
+Replaces: the decode hot path of the reference
+(vit_transformer_model.py:296-325), which re-ran the full decoder stack per
+token from Python.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from image_caption_tpu.models.layers import sinusoidal_position_encoding
+
+BLK = 16  # cache/memory block (bf16 sublane tile), shared with decode_attention
+TILE_B = 64  # batch rows per in-kernel tile
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedWeights(NamedTuple):
+    """Stacked per-layer decoder weights in kernel layout (leading dim = layer)."""
+
+    embed: jnp.ndarray     # [Vp, d] bf16 — bf16(embedding * sqrt(d)), zero-padded rows
+    pe: jnp.ndarray        # [Lpad, d] bf16 — bf16(sinusoidal PE)
+    qkv_w: jnp.ndarray     # [L, d, 3d] bf16
+    qkv_b: jnp.ndarray     # [L, 3d] bf16
+    out_w: jnp.ndarray     # [L, d, d] bf16
+    out_b: jnp.ndarray     # [L, d] bf16
+    q_w: jnp.ndarray       # [L, d, d] bf16
+    q_b: jnp.ndarray       # [L, d] bf16
+    co_w: jnp.ndarray      # [L, d, d] bf16 (cross-attn out)
+    co_b: jnp.ndarray      # [L, d] bf16
+    l1_w: jnp.ndarray      # [L, d, F] bf16
+    l1_b: jnp.ndarray      # [L, F] bf16
+    l2_w: jnp.ndarray      # [L, F, d] bf16
+    l2_b: jnp.ndarray      # [L, d] bf16
+    ln_s: jnp.ndarray      # [3, L, d] f32 (norm1/2/3 scale)
+    ln_b: jnp.ndarray      # [3, L, d] f32 (norm1/2/3 bias)
+    fc_w: jnp.ndarray      # [d, Vp] f32
+    fc_b: jnp.ndarray      # [1, Vp] f32
+
+
+def _dig(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def pack_weights(decoder_params: Dict[str, Any], *, num_layers: int, d_model: int,
+                 vocab_size: int, padded_vocab: int, max_len: int) -> FusedWeights:
+    """Flax decoder params -> stacked kernel layout (pure jnp; jit-safe)."""
+    p = decoder_params
+    bf = jnp.bfloat16
+
+    def stack(path, dtype=bf):
+        return jnp.stack(
+            [jnp.asarray(_dig(p[f"layer_{i}"], path), dtype) for i in range(num_layers)]
+        )
+
+    embed = jnp.asarray(p["embedding"]["embedding"], jnp.float32) * math.sqrt(d_model)
+    embed = jnp.pad(embed.astype(bf), ((0, padded_vocab - vocab_size), (0, 0)))
+    lpad = _round_up(max_len, BLK)
+    pe = sinusoidal_position_encoding(lpad, d_model).astype(bf)
+    return FusedWeights(
+        embed=embed,
+        pe=pe,
+        qkv_w=stack(("self_attn", "qkv", "kernel")),
+        qkv_b=stack(("self_attn", "qkv", "bias")),
+        out_w=stack(("self_attn", "out", "kernel")),
+        out_b=stack(("self_attn", "out", "bias")),
+        q_w=stack(("cross_attn", "q_proj", "kernel")),
+        q_b=stack(("cross_attn", "q_proj", "bias")),
+        co_w=stack(("cross_attn", "out", "kernel")),
+        co_b=stack(("cross_attn", "out", "bias")),
+        l1_w=stack(("ffn", "linear1", "kernel")),
+        l1_b=stack(("ffn", "linear1", "bias")),
+        l2_w=stack(("ffn", "linear2", "kernel")),
+        l2_b=stack(("ffn", "linear2", "bias")),
+        ln_s=jnp.stack([stack((f"norm{k}", "scale"), jnp.float32) for k in (1, 2, 3)]),
+        ln_b=jnp.stack([stack((f"norm{k}", "bias"), jnp.float32) for k in (1, 2, 3)]),
+        fc_w=jnp.asarray(p["fc_out"]["kernel"], jnp.float32),
+        fc_b=jnp.asarray(p["fc_out"]["bias"], jnp.float32)[None, :],
+    )
+
+
+def pack_cross_kv(decoder_params: Dict[str, Any], memory: jnp.ndarray, *,
+                  num_layers: int) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Per-layer cross K/V from encoder memory, stacked [L, B, Spad, d] bf16.
+
+    Same values CrossAttention.memory_kv computes (models/layers.py:145-148),
+    kept FLAT and padded to a BLK multiple; padded positions are masked in the
+    kernel by the true length S.
+    """
+    _, s, _ = memory.shape
+    mem = memory.astype(jnp.bfloat16)
+    ks, vs = [], []
+    for i in range(num_layers):
+        p_l = decoder_params[f"layer_{i}"]["cross_attn"]["kv_proj"]
+        w = jnp.asarray(p_l["kernel"], jnp.bfloat16)
+        bias = jnp.asarray(p_l["bias"], jnp.bfloat16)
+        kv = jnp.dot(mem, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16) + bias
+        k, v = jnp.split(kv, 2, axis=-1)
+        ks.append(k)
+        vs.append(v)
+    spad = _round_up(s, BLK)
+    ck = jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
+    cv = jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
+    return ck, cv, s
+
+
+def init_fused_cache(batch: int, max_len: int, d_model: int, num_layers: int):
+    """Zeroed stacked self-attn caches [L, B, Lpad, d] bf16 (k, v)."""
+    lpad = _round_up(max_len, BLK)
+    z = jnp.zeros((num_layers, batch, lpad, d_model), jnp.bfloat16)
+    return z, jnp.copy(z)
+
+
+def _make_kernel(num_layers: int, nheads: int, head_dim: int,
+                 tile_b: int, ntiles: int, s_len: int, s_pad: int,
+                 vocab: int, vpad: int):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = nheads * head_dim
+    scale = 1.0 / (head_dim ** 0.5)
+    bf = jnp.bfloat16
+    n_cross_blk = s_pad // BLK
+    W_KINDS = 6  # 0 qkv, 1 out, 2 q, 3 co, 4 l1, 5 l2
+
+    def layer_norm(xf, scale_row, bias_row):
+        # flax _compute_stats/_normalize, f32, use_fast_variance=True
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        mul = lax.rsqrt(var + 1e-5) * scale_row
+        return (xf - mu) * mul + bias_row
+
+    def kernel(idx_ref, tok_ref,                        # SMEM scalar, VMEM tokens
+               embed_ref, pe_ref, fc_w_ref, fc_b_ref,   # resident VMEM
+               ln_s_ref, ln_b_ref,
+               qkv_b_ref, out_b_ref, q_b_ref, co_b_ref, l1_b_ref, l2_b_ref,
+               qkv_w_hbm, out_w_hbm, q_w_hbm, co_w_hbm, l1_w_hbm, l2_w_hbm,
+               ck_hbm, cv_hbm, kc_hbm, vc_hbm,          # HBM cross K/V + self caches
+               logits_ref, next_ref, kc_out, vc_out,    # outputs (caches aliased)
+               x_all, kbuf, vbuf, kcur, vcur, acc, m_ref, l_ref,
+               qkv_buf, out_buf, q_buf, co_buf, l1_buf, l2_buf,
+               w_sems, kv_sems, wr_sems):
+        # The self caches are read AND written through the ALIASED OUTPUT refs:
+        # on TPU they are the same HBM buffer as the inputs; in interpret mode
+        # the outputs are initialized from the aliased inputs and only
+        # output-ref writes stick.  The input refs go unused by design.
+        del kc_hbm, vc_hbm
+        kc_hbm, vc_hbm = kc_out, vc_out
+        idx = idx_ref[0, 0]
+        nblk_self = (idx + BLK - 1) // BLK  # blocks covering pos < idx
+
+        w_bufs = (qkv_buf, out_buf, q_buf, co_buf, l1_buf, l2_buf)
+        w_hbms = (qkv_w_hbm, out_w_hbm, q_w_hbm, co_w_hbm, l1_w_hbm, l2_w_hbm)
+
+        def w_dma(kind, layer):
+            return pltpu.make_async_copy(
+                w_hbms[kind].at[layer], w_bufs[kind], w_sems.at[kind]
+            )
+
+        def kv_write_dma(which, t, layer):
+            src = (kcur, vcur)[which]
+            dst = (kc_hbm, vc_hbm)[which]
+            return pltpu.make_async_copy(
+                src.at[t], dst.at[layer, pl.ds(t * tile_b, tile_b), idx, :],
+                wr_sems.at[t, which],
+            )
+
+        # warm up: stream layer 0's weights
+        for kind in range(W_KINDS):
+            w_dma(kind, 0).start()
+
+        # ---- embedding + PE (exact-parity one-hot matmul over bf16 rows) ----
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (tile_b * ntiles, vpad), 1) == tok_ref[:]
+        ).astype(bf)
+        x = jnp.dot(onehot, embed_ref[:], preferred_element_type=jnp.float32).astype(bf)
+        x_all[:] = x + pe_ref[pl.ds(idx, 1), :].astype(bf)
+
+        def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk, valid_len,
+                   cur_k=None, cur_v=None):
+            """Online-softmax attention of q_rows [TB, d] over blocked HBM K/V;
+            optionally folds in the current token's K/V held in VMEM (its cache
+            row is still being written, and positions < idx never read it)."""
+            acc[:] = jnp.zeros_like(acc)
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+            def k_dma(slot, blk):
+                return pltpu.make_async_copy(
+                    kv_k_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
+                    kbuf.at[slot], kv_sems.at[slot, 0],
+                )
+
+            def v_dma(slot, blk):
+                return pltpu.make_async_copy(
+                    kv_v_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
+                    vbuf.at[slot], kv_sems.at[slot, 1],
+                )
+
+            @pl.when(nblk > 0)
+            def _start():
+                k_dma(0, 0).start()
+                v_dma(0, 0).start()
+
+            def blk_body(blk, carry):
+                slot = lax.rem(blk, 2)
+                nxt = lax.rem(blk + 1, 2)
+
+                @pl.when(blk + 1 < nblk)
+                def _prefetch():
+                    k_dma(nxt, blk + 1).start()
+                    v_dma(nxt, blk + 1).start()
+
+                k_dma(slot, blk).wait()
+                v_dma(slot, blk).wait()
+                pos = blk * BLK + lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+                valid = pos < valid_len
+                for h in range(nheads):
+                    hs = slice(h * head_dim, (h + 1) * head_dim)
+                    q_h = q_rows[:, hs].astype(jnp.float32)
+                    k_h = kbuf[slot][:, :, hs].astype(jnp.float32)
+                    scores = jnp.sum(q_h[:, None, :] * k_h, axis=-1) * scale
+                    scores = jnp.where(valid, scores, _NEG_INF)
+                    m_old = m_ref[:, h : h + 1]
+                    m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
+                    alpha = jnp.exp(m_old - m_new)
+                    pr = jnp.exp(scores - m_new)
+                    l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + jnp.sum(
+                        pr, axis=1, keepdims=True
+                    )
+                    pv = jnp.sum(
+                        pr[:, :, None] * vbuf[slot][:, :, hs].astype(jnp.float32), axis=1
+                    )
+                    acc[:, hs] = acc[:, hs] * alpha + pv
+                    m_ref[:, h : h + 1] = m_new
+                return carry
+
+            lax.fori_loop(0, nblk, blk_body, 0)
+
+            if cur_k is not None:
+                for h in range(nheads):
+                    hs = slice(h * head_dim, (h + 1) * head_dim)
+                    q_h = q_rows[:, hs].astype(jnp.float32)
+                    s_cur = jnp.sum(q_h * cur_k[:, hs].astype(jnp.float32),
+                                    axis=-1, keepdims=True) * scale
+                    m_old = m_ref[:, h : h + 1]
+                    m_new = jnp.maximum(m_old, s_cur)
+                    alpha = jnp.exp(m_old - m_new)
+                    pr = jnp.exp(s_cur - m_new)
+                    l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + pr
+                    acc[:, hs] = acc[:, hs] * alpha + pr * cur_v[:, hs].astype(jnp.float32)
+                    m_ref[:, h : h + 1] = m_new
+
+            return jnp.concatenate(
+                [
+                    (acc[:, h * head_dim : (h + 1) * head_dim] / l_ref[:, h : h + 1])
+                    for h in range(nheads)
+                ],
+                axis=1,
+            ).astype(bf)
+
+        def bias_row(ref, layer):
+            return ref[pl.ds(layer, 1), :]  # [1, n] broadcasts over rows
+
+        def ln_rows(layer, which):
+            return (
+                ln_s_ref[which, pl.ds(layer, 1), :],
+                ln_b_ref[which, pl.ds(layer, 1), :],
+            )
+
+        def layer_body(layer, carry):
+            first = layer == 0  # python-static? no: traced. waits are uncond.
+            del first
+            for t in range(ntiles):
+                row0 = t * tile_b
+                x_t = x_all[pl.ds(row0, tile_b), :]
+
+                # -- self-attention ------------------------------------------
+                if t == 0:
+                    w_dma(0, layer).wait()
+                qkv = jnp.dot(x_t, qkv_buf[:], preferred_element_type=jnp.float32
+                              ).astype(bf) + bias_row(qkv_b_ref, layer)
+                q_rows, k_row, v_row = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+                kcur[t] = k_row
+                vcur[t] = v_row
+                o = attend(q_rows, kc_hbm, vc_hbm, layer, row0, nblk_self, idx,
+                           cur_k=k_row, cur_v=v_row)
+                # write the new K/V row into the cache; overlaps the rest of
+                # the tile's compute, drained at end of layer
+                kv_write_dma(0, t, layer).start()
+                kv_write_dma(1, t, layer).start()
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx0():
+                        w_dma(0, layer + 1).start()
+                    w_dma(1, layer).wait()
+                delta = jnp.dot(o, out_buf[:], preferred_element_type=jnp.float32
+                                ).astype(bf) + bias_row(out_b_ref, layer)
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx1():
+                        w_dma(1, layer + 1).start()
+                xf = (x_t + delta).astype(jnp.float32)
+                s_r, b_r = ln_rows(layer, 0)
+                x_t = layer_norm(xf, s_r, b_r).astype(bf)
+
+                # -- cross-attention -----------------------------------------
+                if t == 0:
+                    w_dma(2, layer).wait()
+                q2 = jnp.dot(x_t, q_buf[:], preferred_element_type=jnp.float32
+                             ).astype(bf) + bias_row(q_b_ref, layer)
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx2():
+                        w_dma(2, layer + 1).start()
+                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len)
+                if t == 0:
+                    w_dma(3, layer).wait()
+                delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32
+                                 ).astype(bf) + bias_row(co_b_ref, layer)
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx3():
+                        w_dma(3, layer + 1).start()
+                xf = (x_t + delta2).astype(jnp.float32)
+                s_r, b_r = ln_rows(layer, 1)
+                x_t = layer_norm(xf, s_r, b_r).astype(bf)
+
+                # -- FFN ------------------------------------------------------
+                if t == 0:
+                    w_dma(4, layer).wait()
+                h1 = jnp.dot(x_t, l1_buf[:], preferred_element_type=jnp.float32
+                             ).astype(bf) + bias_row(l1_b_ref, layer)
+                h1 = jnp.maximum(h1, jnp.zeros_like(h1))
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx4():
+                        w_dma(4, layer + 1).start()
+                if t == 0:
+                    w_dma(5, layer).wait()
+                delta3 = jnp.dot(h1, l2_buf[:], preferred_element_type=jnp.float32
+                                 ).astype(bf) + bias_row(l2_b_ref, layer)
+                if t == ntiles - 1:
+                    @pl.when(layer + 1 < num_layers)
+                    def _nx5():
+                        w_dma(5, layer + 1).start()
+                xf = (x_t + delta3).astype(jnp.float32)
+                s_r, b_r = ln_rows(layer, 2)
+                x_all[pl.ds(row0, tile_b), :] = layer_norm(xf, s_r, b_r).astype(bf)
+
+            # drain this layer's cache writes before the next layer reuses
+            # kcur/vcur (and before the kernel exits on the last layer)
+            for t in range(ntiles):
+                kv_write_dma(0, t, layer).wait()
+                kv_write_dma(1, t, layer).wait()
+            return carry
+
+        lax.fori_loop(0, num_layers, layer_body, 0, unroll=False)
+
+        # ---- vocab head + argmax (f32, padded cols -> -1e30) ----------------
+        for t in range(ntiles):
+            row0 = t * tile_b
+            xf = x_all[pl.ds(row0, tile_b), :].astype(jnp.float32)
+            lg = jnp.dot(xf, fc_w_ref[:], preferred_element_type=jnp.float32) + fc_b_ref[:]
+            cols = lax.broadcasted_iota(jnp.int32, (tile_b, vpad), 1)
+            lg = jnp.where(cols < vocab, lg, _NEG_INF)
+            logits_ref[pl.ds(row0, tile_b), :] = lg
+            mx = jnp.max(lg, axis=-1, keepdims=True)
+            pick = jnp.where(lg == mx, cols, vpad)
+            next_ref[pl.ds(row0, tile_b), :] = jnp.min(pick, axis=-1, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_layers", "nheads", "s_len", "vocab", "interpret"),
+)
+def fused_decode_step(
+    tok: jnp.ndarray,          # [B] int32 current tokens
+    k_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (aliased in/out)
+    v_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (aliased in/out)
+    cross_k: jnp.ndarray,      # [L, B, Spad, d] bf16
+    cross_v: jnp.ndarray,      # [L, B, Spad, d] bf16
+    weights: FusedWeights,
+    index,                     # scalar int32 decode position
+    *,
+    num_layers: int,
+    nheads: int,
+    s_len: int,
+    vocab: int,
+    interpret: bool = False,
+):
+    """One fused decode step.  Returns (logits [B, Vp] f32, next_tok [B] i32,
+    k_cache, v_cache) with the caches updated in place (buffer-aliased).
+
+    ``B`` must be a multiple of 16 (bf16 sublane tile); the engine pads.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, b, lpad, d = k_cache.shape
+    assert L == num_layers and b % BLK == 0, (L, b)
+    head_dim = d // nheads
+    s_pad = cross_k.shape[2]
+    vpad = weights.embed.shape[0]
+    ffn = weights.l1_w.shape[2]
+    tile_b = min(TILE_B, b)
+    ntiles = b // tile_b
+    assert b % tile_b == 0
+
+    kernel = _make_kernel(
+        num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad
+    )
+    f32, bf = jnp.float32, jnp.bfloat16
+    vmem = lambda shape, dt: pltpu.VMEM(shape, dt)  # noqa: E731
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, vpad), f32),        # logits
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),     # next token
+        jax.ShapeDtypeStruct(k_cache.shape, bf),     # aliased caches
+        jax.ShapeDtypeStruct(v_cache.shape, bf),
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    logits, nxt, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[
+            smem_spec,                    # index
+            vmem_spec,                    # tok [B, 1]
+            vmem_spec, vmem_spec, vmem_spec, vmem_spec,  # embed, pe, fc_w, fc_b
+            vmem_spec, vmem_spec,         # ln_s, ln_b
+            vmem_spec, vmem_spec, vmem_spec, vmem_spec, vmem_spec, vmem_spec,  # biases
+            any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,  # weights HBM
+            any_spec, any_spec,           # cross K/V
+            any_spec, any_spec,           # self caches
+        ],
+        out_specs=(vmem_spec, vmem_spec, any_spec, any_spec),
+        scratch_shapes=[
+            vmem((b, d), bf),                       # x_all
+            vmem((2, tile_b, BLK, d), bf),          # kbuf
+            vmem((2, tile_b, BLK, d), bf),          # vbuf
+            vmem((ntiles, tile_b, d), bf),          # kcur
+            vmem((ntiles, tile_b, d), bf),          # vcur
+            vmem((tile_b, d), f32),                 # acc
+            vmem((tile_b, nheads), f32),            # running max
+            vmem((tile_b, nheads), f32),            # running denom
+            vmem((d, 3 * d), bf),                   # qkv_buf
+            vmem((d, d), bf),                       # out_buf
+            vmem((d, d), bf),                       # q_buf
+            vmem((d, d), bf),                       # co_buf
+            vmem((d, ffn), bf),                     # l1_buf
+            vmem((ffn, d), bf),                     # l2_buf
+            pltpu.SemaphoreType.DMA((6,)),          # weight sems
+            pltpu.SemaphoreType.DMA((2, 2)),        # kv read sems
+            pltpu.SemaphoreType.DMA((ntiles, 2)),   # cache write sems
+        ],
+        input_output_aliases={22: 2, 23: 3},  # kc, vc -> outputs 2, 3
+        interpret=interpret,
+    )(
+        jnp.asarray(index, jnp.int32).reshape(1, 1),
+        tok.astype(jnp.int32).reshape(b, 1),
+        weights.embed, weights.pe, weights.fc_w, weights.fc_b,
+        weights.ln_s, weights.ln_b,
+        weights.qkv_b, weights.out_b, weights.q_b, weights.co_b,
+        weights.l1_b, weights.l2_b,
+        weights.qkv_w, weights.out_w, weights.q_w, weights.co_w,
+        weights.l1_w, weights.l2_w,
+        cross_k, cross_v, k_cache, v_cache,
+    )
+    return logits, nxt[:, 0], k_cache, v_cache
