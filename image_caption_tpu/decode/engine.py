@@ -159,7 +159,9 @@ def fused_greedy_decode(
     return tokens[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "unroll", "fused")
+)
 def greedy_decode(
     model,
     variables,
@@ -169,6 +171,7 @@ def greedy_decode(
     end_id: int,
     max_len: int = 50,
     unroll: int = 1,
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched greedy decode from precomputed memory. Returns int32 [B, max_len].
 
@@ -188,7 +191,13 @@ def greedy_decode(
     """
     if unroll < 1:
         raise ValueError(f"unroll must be >= 1, got {unroll}")
-    if unroll == 1 and _fused_spec(model, variables) is not None:
+    # ``fused``: None = auto (TPU single-device, compatible decoder geometry);
+    # False = force the layerwise path; True = force the fused kernel.  A
+    # STATIC argument so the two paths never share a jit cache entry (an env
+    # flag read at trace time would leave the second variant of an A/B stale).
+    if unroll == 1 and fused is not False and (
+        fused is True or _fused_spec(model, variables) is not None
+    ):
         # TPU fast path: one fused pallas_call per token (ops/fused_decode.py)
         return fused_greedy_decode(
             model, variables, memory, start_id=start_id, end_id=end_id, max_len=max_len

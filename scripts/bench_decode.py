@@ -37,10 +37,11 @@ def main():
     ap.add_argument("--model", default="grid_transformer",
                     choices=["grid_transformer", "vit_transformer"])
     ap.add_argument("--modes", default="greedy,beam")
-    ap.add_argument("--ab", default="pallas", choices=["pallas", "weights", "unroll"],
-                    help="A/B axis: Pallas-vs-XLA kernel, bf16-vs-f32 weight stream "
-                         "(utils/precision.py; bit-identical tokens), or greedy loop "
-                         "unroll 2-vs-1 (identical captions; greedy mode only)")
+    ap.add_argument("--ab", default="pallas", choices=["pallas", "weights", "unroll", "fused"],
+                    help="A/B axis: Pallas-vs-XLA decode-attention kernel, bf16-vs-f32 "
+                         "weight stream (utils/precision.py; bit-identical tokens), greedy "
+                         "loop unroll 2-vs-1 (identical captions; greedy mode only), or the "
+                         "fused whole-step kernel vs the layerwise path (greedy only)")
     ap.add_argument("--unroll", type=int, default=2, help="unroll factor for --ab unroll")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -74,10 +75,17 @@ def main():
         jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 4), jnp.int32), jnp.array([4], jnp.int32),
     )
 
-    def make_chain(method, unroll=1):
+    def make_chain(method, unroll=1, end_id=-1, fused=None):
         """jitted DYNAMIC-k chained decode ending in a scalar (true dependency);
         one tunnel compile serves every k.  variables/images are jit ARGUMENTS
-        (big closure constants overflow the tunnel's remote_compile request)."""
+        (big closure constants overflow the tunnel's remote_compile request).
+
+        ``end_id``: any negative value never matches a token (full worst-case
+        rollout); the --ab pallas arms use DIFFERENT negatives so the two arms
+        get separate greedy_decode jit cache entries — the ICT_DISABLE_PALLAS
+        env is read at TRACE time, so arms sharing a cache entry would silently
+        measure the same program (self-vs-self A/B).
+        ``fused``: explicit fused-kernel control (engine.greedy_decode)."""
 
         @jax.jit
         def run(seed, k, variables, images_u8):
@@ -88,12 +96,12 @@ def main():
                     return s * 1e-9 + jnp.sum(memory).astype(jnp.float32)
                 if method == "greedy":
                     tokens = engine.greedy_decode(
-                        module, variables, memory, start_id=107, end_id=-1,
-                        max_len=max_len, unroll=unroll,
+                        module, variables, memory, start_id=107, end_id=end_id,
+                        max_len=max_len, unroll=unroll, fused=fused,
                     )
                 else:
                     tokens = engine.generate(
-                        module, variables, memory, start_id=107, end_id=-1,
+                        module, variables, memory, start_id=107, end_id=end_id,
                         max_len=max_len, method=method, beam_size=args.beam,
                     )
                 return s * 1e-9 + jnp.sum(tokens).astype(jnp.float32)
@@ -134,16 +142,28 @@ def main():
                 variants = ("pallas", "xla")
             elif args.ab == "weights":
                 variants = ("bf16", "f32")
+            elif args.ab == "fused":
+                if method != "greedy":
+                    continue  # the fused whole-step kernel is greedy-only
+                variants = ("fused", "layerwise")
             else:
                 if method != "greedy":
                     continue  # unroll is a greedy_decode knob
                 variants = (f"u{args.unroll}", "u1")
             runs = {}
             for variant in variants:
+                # fused=False pins the layerwise path on every non-fused A/B so
+                # the comparison stays single-variable (auto-dispatch would
+                # route both pallas/weights arms through the fused kernel).
+                fused = {"fused": True, "layerwise": False}.get(variant, False)
+                end_id = -1
                 if args.ab == "pallas":
                     os.environ["ICT_DISABLE_PALLAS"] = "0" if variant == "pallas" else "1"
+                    # distinct (behaviorally identical) end_ids -> distinct jit
+                    # cache entries, see make_chain docstring
+                    end_id = -1 if variant == "pallas" else -2
                 unroll = int(variant[1:]) if variant.startswith("u") and args.ab == "unroll" else 1
-                runs[variant] = make_chain(method, unroll=unroll)
+                runs[variant] = make_chain(method, unroll=unroll, end_id=end_id, fused=fused)
                 fetch(runs[variant], k1, images, variant)  # compile + warm under the right dispatch
             times = {v: ([], []) for v in runs}
             for _ in range(args.reps):  # interleaved: a k1, b k1, a k2, b k2

@@ -183,9 +183,46 @@ def main():
                 loss, _ = eval_step(variables, b2)  # eval path: preprocess+fwd+loss
                 return s * 1e-9 + loss
 
+            from image_caption_tpu.train import losses as L
+
+            def _train_loss(params, imgs, batch, k_do):
+                logits = module.apply(
+                    {"params": params, "batch_stats": variables.get("batch_stats", {})},
+                    imgs, batch["caption"], batch["length"],
+                    deterministic=False, train_backbone=args.train_backbone,
+                    rngs={"dropout": k_do},
+                    mutable=["batch_stats"] if args.train_backbone else False,
+                )
+                if args.train_backbone:
+                    logits = logits[0]
+                return L.label_smoothing_loss(logits, batch["caption"][:, 1:], 0, 0.1)
+
+            def fwd_train(i, s, variables, batch):
+                # train-mode forward: same augment + DROPOUT MASKS as the step,
+                # no backward — (this - preprocess+fwd_loss) ~ mask-gen cost
+                key = jax.random.fold_in(rng, jnp.int32(s % 1024.0))
+                k_aug, k_do = jax.random.split(key)
+                imgs = train_augment(k_aug, _perturb(batch["image"], s))
+                return s * 1e-9 + _train_loss(variables["params"], imgs, batch, k_do)
+
+            def fwd_bwd(i, s, variables, batch):
+                # + full backward (no clip/optimizer/EMA): step - this = update
+                key = jax.random.fold_in(rng, jnp.int32(s % 1024.0))
+                k_aug, k_do = jax.random.split(key)
+                imgs = train_augment(k_aug, _perturb(batch["image"], s))
+                loss, grads = jax.value_and_grad(_train_loss)(
+                    variables["params"], imgs, batch, k_do
+                )
+                # depend on EVERY grad leaf so XLA cannot prune any of the
+                # backward (a single-leaf dependency would)
+                gsum = sum(jnp.sum(g).astype(jnp.float32) for g in jax.tree_util.tree_leaves(grads))
+                return s * 1e-9 + loss + 0.0 * gsum
+
             ks = (2, max(args.steps // 10, 6))
             for name, fn in (("augment", aug_only), ("augment+encode_fwd", aug_encode),
-                             ("preprocess+fwd_loss", fwd_loss)):
+                             ("preprocess+fwd_loss", fwd_loss),
+                             ("augment+fwd_train", fwd_train),
+                             ("augment+fwd_bwd", fwd_bwd)):
                 dt_s = device_time(fn, variables, batch, iters=ks, reps=3)
                 rec[f"ms_{name}"] = round(dt_s * 1e3, 2)
         print(json.dumps(rec))
