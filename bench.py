@@ -37,9 +37,15 @@ def main():
     # Default b=64: the measured throughput sweet spot (PERF.md — 4x the batch
     # costs 4.5x the time at these shapes, so b=64 beats b=256 on caps/sec).
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 64
+    # --model vit_transformer benches the ViT captioner (196 memory tokens =>
+    # ~4x the grid model's cross-KV traffic per decode step); the headline
+    # (driver default) stays the flagship grid model.
+    model_type = (
+        sys.argv[sys.argv.index("--model") + 1] if "--model" in sys.argv else "grid_transformer"
+    )
     max_len = 52
     config = dict(
-        model_type="grid_transformer", d_model=512, nhead=8, num_encoder_layers=6,
+        model_type=model_type, d_model=512, nhead=8, num_encoder_layers=6,
         num_decoder_layers=6, dim_feedforward=2048, dropout=0.1, max_len=max_len,
     )
     module = build_module(109, config)
@@ -90,12 +96,13 @@ def main():
 
     baseline_per_chip = 2000.0 / 8.0
     device_kind = jax.devices()[0].device_kind
-    fpc = F.decode_flops("grid_transformer", config, gen_len=max_len)
+    fpc = F.decode_flops(model_type, config, gen_len=max_len)
     mfu = F.mfu(fpc, captions_per_sec, device_kind)
+    model_tag = "grid model" if model_type == "grid_transformer" else "vit model"
     print(
         json.dumps(
             {
-                "metric": "captions/sec/chip (batched greedy, grid model, b=%d)" % batch,
+                "metric": "captions/sec/chip (batched greedy, %s, b=%d)" % (model_tag, batch),
                 "value": round(captions_per_sec, 2),
                 "unit": "captions/sec",
                 "vs_baseline": round(captions_per_sec / baseline_per_chip, 3),

@@ -458,9 +458,14 @@ def fused_decode_step(
     s_pad = cross_k.shape[2]
     vpad = weights.embed.shape[0]
     ffn = weights.l1_w.shape[2]
-    tile_b = min(TILE_B, b)
+    # largest 16-multiple tile <= TILE_B that divides b exactly (b is a
+    # 16-multiple by the engine's pad contract; e.g. b=80 -> 5 tiles of 16)
+    tile_b = BLK
+    for t in range(BLK, min(TILE_B, b) + 1, BLK):
+        if b % t == 0:
+            tile_b = t
     ntiles = b // tile_b
-    assert b % tile_b == 0
+    assert b % tile_b == 0 and b % BLK == 0, (b, tile_b)
 
     kernel = _make_kernel(
         num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad

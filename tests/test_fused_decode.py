@@ -148,6 +148,42 @@ def test_fused_step_logits_match_layerwise(decode_setup):
     assert np.all(np.asarray(logits)[:, VOCAB:] <= -1e29)
 
 
+def test_fused_multi_tile_matches_single_tile():
+    """The in-kernel batch-tile loop (b > 64 -> layer-major tiles over shared
+    weight buffers, per-tile cache-write slots) must produce row-for-row the
+    same step outputs as the same rows decoded in a single tile."""
+    from image_caption_tpu.ops import fused_decode as F
+
+    module, vs = _model_and_vars()
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.normal(size=(128, 224, 224, 3)).astype(np.float32))
+    memory = module.apply(vs, imgs, method=module.encode)
+    dec = vs["params"]["decoder"]
+    L, d, H = module.num_decoder_layers, module.d_model, module.nhead
+    w = F.pack_weights(dec, num_layers=L, d_model=d, vocab_size=VOCAB,
+                       padded_vocab=128, max_len=12)
+    tok = jnp.asarray(rng.integers(1, VOCAB - 3, size=(128,)).astype(np.int32))
+
+    def step0(mem_rows, tok_rows):
+        b = mem_rows.shape[0]
+        ck, cv, s_len = F.pack_cross_kv(dec, mem_rows, num_layers=L)
+        kc, vc = F.init_fused_cache(b, 12, d, L)
+        lg, nxt, kc, vc = F.fused_decode_step(
+            tok_rows, kc, vc, ck, cv, w, jnp.int32(0),
+            num_layers=L, nheads=H, s_len=s_len, vocab=VOCAB, interpret=True,
+        )
+        return np.asarray(lg), np.asarray(nxt), np.asarray(kc)
+
+    lg_all, nxt_all, kc_all = step0(memory, tok)            # ntiles = 2
+    lg_one, nxt_one, kc_one = step0(memory[:64], tok[:64])  # ntiles = 1
+    np.testing.assert_array_equal(lg_all[:64], lg_one)
+    np.testing.assert_array_equal(nxt_all[:64], nxt_one)
+    np.testing.assert_array_equal(kc_all[:, :64], kc_one)
+    # second tile actually computed (not zero/stale)
+    assert np.any(kc_all[:, 64:, 0] != 0)
+    assert np.all(lg_all[:, VOCAB:] <= -1e29)
+
+
 def test_fused_cache_write_roundtrip(decode_setup):
     """The in-place cache rows written at step 0 must equal the layerwise
     cache's K/V at position 0 (the kernel's DMA write path)."""
