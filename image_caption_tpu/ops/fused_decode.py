@@ -11,8 +11,10 @@ one ``pallas_call`` per token computes
     cross-attn over memory -> FFN, each + residual + post-LN]  ->
     f32 vocab head -> argmax
 
-with the self-attention KV caches updated IN PLACE (aliased HBM buffers, the
-new K/V row DMA'd to position ``index``), decoder weights streamed HBM->VMEM
+with the new self-attention K/V rows emitted per layer (scattered into the
+HBM caches by one XLA dynamic_update_slice per cache — Mosaic cannot
+DMA-write a 1-row slice at a dynamic position of a tiled HBM memref, and the
+row traffic is noise), decoder weights streamed HBM->VMEM
 per weight-kind behind a semaphore pipeline (weights do not fit VMEM: ~44 MB
 bf16 vs ~16 MB; each kind's next-layer DMA starts right after its last use,
 overlapping the rest of the layer's compute), and the self-attn cache loop
@@ -184,21 +186,21 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
         return (xf - mu) * mul + bias_row
 
     def kernel(idx_ref, tok_ref,                        # SMEM scalar, VMEM tokens
-               embed_ref, pe_ref, fc_w_ref, fc_b_ref,   # resident VMEM
+               embed_ref, pe_row_ref, fc_w_ref, fc_b_ref,  # resident VMEM
                ln_s_ref, ln_b_ref,
                qkv_b_ref, out_b_ref, q_b_ref, co_b_ref, l1_b_ref, l2_b_ref,
                qkv_w_hbm, out_w_hbm, q_w_hbm, co_w_hbm, l1_w_hbm, l2_w_hbm,
                ck_hbm, cv_hbm, kc_hbm, vc_hbm,          # HBM cross K/V + self caches
-               logits_ref, next_ref, kc_out, vc_out,    # outputs (caches aliased)
-               x_all, kbuf, vbuf, kcur, vcur, acc, m_ref, l_ref,
+               logits_ref, next_ref, knew_ref, vnew_ref,  # outputs
+               x_all, kbuf, vbuf, acc, m_ref, l_ref,
                qkv_buf, out_buf, q_buf, co_buf, l1_buf, l2_buf,
-               w_sems, kv_sems, wr_sems):
-        # The self caches are read AND written through the ALIASED OUTPUT refs:
-        # on TPU they are the same HBM buffer as the inputs; in interpret mode
-        # the outputs are initialized from the aliased inputs and only
-        # output-ref writes stick.  The input refs go unused by design.
-        del kc_hbm, vc_hbm
-        kc_hbm, vc_hbm = kc_out, vc_out
+               w_sems, kv_sems):
+        # The self caches are READ-ONLY here.  The new K/V row for position
+        # ``idx`` is returned per layer in knew/vnew [L, B, d] and scattered
+        # into the caches by one XLA dynamic_update_slice per cache outside
+        # the kernel: Mosaic cannot DMA-write a 1-row slice at a dynamic
+        # position of a (8,128)-tiled HBM memref.  Attention still sees the
+        # current token via the cur_k/cur_v fold-in below.
         idx = idx_ref[0, 0]
         nblk_self = (idx + BLK - 1) // BLK  # blocks covering pos < idx
 
@@ -210,14 +212,6 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 w_hbms[kind].at[layer], w_bufs[kind], w_sems.at[kind]
             )
 
-        def kv_write_dma(which, t, layer):
-            src = (kcur, vcur)[which]
-            dst = (kc_hbm, vc_hbm)[which]
-            return pltpu.make_async_copy(
-                src.at[t], dst.at[layer, pl.ds(t * tile_b, tile_b), idx, :],
-                wr_sems.at[t, which],
-            )
-
         # warm up: stream layer 0's weights
         for kind in range(W_KINDS):
             w_dma(kind, 0).start()
@@ -227,7 +221,9 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
             lax.broadcasted_iota(jnp.int32, (tile_b * ntiles, vpad), 1) == tok_ref[:]
         ).astype(bf)
         x = jnp.dot(onehot, embed_ref[:], preferred_element_type=jnp.float32).astype(bf)
-        x_all[:] = x + pe_ref[pl.ds(idx, 1), :].astype(bf)
+        # PE row for position idx is sliced OUTSIDE the kernel (Mosaic cannot
+        # vector.load a dynamically-indexed single bf16 row from VMEM)
+        x_all[:] = x + pe_row_ref[:]
 
         def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk, valid_len,
                    cur_k=None, cur_v=None):
@@ -321,9 +317,11 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 ln_b_ref[which, pl.ds(layer, 1), :],
             )
 
-        def layer_body(layer, carry):
-            first = layer == 0  # python-static? no: traced. waits are uncond.
-            del first
+        # The layer loop is PYTHON-UNROLLED (num_layers is static): Mosaic
+        # requires static indices for the per-layer bias/LN row loads from
+        # VMEM, and static `layer` also makes every weight-DMA source slice
+        # static.  6 layers x <=4 tiles of straight-line body compiles fine.
+        for layer in range(num_layers):
             for t in range(ntiles):
                 row0 = t * tile_b
                 x_t = x_all[pl.ds(row0, tile_b), :]
@@ -334,25 +332,18 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 qkv = jnp.dot(x_t, qkv_buf[:], preferred_element_type=jnp.float32
                               ).astype(bf) + bias_row(qkv_b_ref, layer)
                 q_rows, k_row, v_row = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
-                kcur[t] = k_row
-                vcur[t] = v_row
+                knew_ref[layer, pl.ds(row0, tile_b), :] = k_row
+                vnew_ref[layer, pl.ds(row0, tile_b), :] = v_row
                 o = attend(q_rows, kc_hbm, vc_hbm, layer, row0, nblk_self, idx,
                            cur_k=k_row, cur_v=v_row)
-                # write the new K/V row into the cache; overlaps the rest of
-                # the tile's compute, drained at end of layer
-                kv_write_dma(0, t, layer).start()
-                kv_write_dma(1, t, layer).start()
                 if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx0():
+                    if layer + 1 < num_layers:
                         w_dma(0, layer + 1).start()
                     w_dma(1, layer).wait()
                 delta = jnp.dot(o, out_buf[:], preferred_element_type=jnp.float32
                                 ).astype(bf) + bias_row(out_b_ref, layer)
-                if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx1():
-                        w_dma(1, layer + 1).start()
+                if t == ntiles - 1 and layer + 1 < num_layers:
+                    w_dma(1, layer + 1).start()
                 xf = (x_t + delta).astype(jnp.float32)
                 s_r, b_r = ln_rows(layer, 0)
                 x_t = layer_norm(xf, s_r, b_r).astype(bf)
@@ -362,19 +353,15 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                     w_dma(2, layer).wait()
                 q2 = jnp.dot(x_t, q_buf[:], preferred_element_type=jnp.float32
                              ).astype(bf) + bias_row(q_b_ref, layer)
-                if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx2():
-                        w_dma(2, layer + 1).start()
+                if t == ntiles - 1 and layer + 1 < num_layers:
+                    w_dma(2, layer + 1).start()
                 o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len)
                 if t == 0:
                     w_dma(3, layer).wait()
                 delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32
                                  ).astype(bf) + bias_row(co_b_ref, layer)
-                if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx3():
-                        w_dma(3, layer + 1).start()
+                if t == ntiles - 1 and layer + 1 < num_layers:
+                    w_dma(3, layer + 1).start()
                 xf = (x_t + delta2).astype(jnp.float32)
                 s_r, b_r = ln_rows(layer, 1)
                 x_t = layer_norm(xf, s_r, b_r).astype(bf)
@@ -385,30 +372,18 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 h1 = jnp.dot(x_t, l1_buf[:], preferred_element_type=jnp.float32
                              ).astype(bf) + bias_row(l1_b_ref, layer)
                 h1 = jnp.maximum(h1, jnp.zeros_like(h1))
-                if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx4():
-                        w_dma(4, layer + 1).start()
+                if t == ntiles - 1 and layer + 1 < num_layers:
+                    w_dma(4, layer + 1).start()
                 if t == 0:
                     w_dma(5, layer).wait()
                 delta3 = jnp.dot(h1, l2_buf[:], preferred_element_type=jnp.float32
                                  ).astype(bf) + bias_row(l2_b_ref, layer)
-                if t == ntiles - 1:
-                    @pl.when(layer + 1 < num_layers)
-                    def _nx5():
-                        w_dma(5, layer + 1).start()
+                if t == ntiles - 1 and layer + 1 < num_layers:
+                    w_dma(5, layer + 1).start()
                 xf = (x_t + delta3).astype(jnp.float32)
                 s_r, b_r = ln_rows(layer, 2)
                 x_all[pl.ds(row0, tile_b), :] = layer_norm(xf, s_r, b_r).astype(bf)
 
-            # drain this layer's cache writes before the next layer reuses
-            # kcur/vcur (and before the kernel exits on the last layer)
-            for t in range(ntiles):
-                kv_write_dma(0, t, layer).wait()
-                kv_write_dma(1, t, layer).wait()
-            return carry
-
-        lax.fori_loop(0, num_layers, layer_body, 0, unroll=False)
 
         # ---- vocab head + argmax (f32, padded cols -> -1e30) ----------------
         for t in range(ntiles):
@@ -445,7 +420,9 @@ def fused_decode_step(
     interpret: bool = False,
 ):
     """One fused decode step.  Returns (logits [B, Vp] f32, next_tok [B] i32,
-    k_cache, v_cache) with the caches updated in place (buffer-aliased).
+    k_cache, v_cache) with position ``index`` of the caches updated (the
+    kernel emits the new K/V rows; one XLA dynamic_update_slice per cache
+    scatters them — in-place inside the decode while_loop).
 
     ``B`` must be a multiple of 16 (bf16 sublane tile); the engine pads.
     """
@@ -475,13 +452,16 @@ def fused_decode_step(
     out_shapes = (
         jax.ShapeDtypeStruct((b, vpad), f32),        # logits
         jax.ShapeDtypeStruct((b, 1), jnp.int32),     # next token
-        jax.ShapeDtypeStruct(k_cache.shape, bf),     # aliased caches
-        jax.ShapeDtypeStruct(v_cache.shape, bf),
+        jax.ShapeDtypeStruct((L, b, d), bf),         # new K rows (per layer)
+        jax.ShapeDtypeStruct((L, b, d), bf),         # new V rows
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    logits, nxt, k_cache, v_cache = pl.pallas_call(
+    # PE row for this position, sliced by XLA (one tiny dynamic-slice op —
+    # Mosaic cannot do a dynamically-indexed single-row VMEM load in-kernel)
+    pe_row = jax.lax.dynamic_slice_in_dim(weights.pe, jnp.asarray(index, jnp.int32), 1, 0)
+    logits, nxt, k_new, v_new = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[
@@ -494,13 +474,11 @@ def fused_decode_step(
             any_spec, any_spec,           # cross K/V
             any_spec, any_spec,           # self caches
         ],
-        out_specs=(vmem_spec, vmem_spec, any_spec, any_spec),
+        out_specs=(vmem_spec, vmem_spec, vmem_spec, vmem_spec),
         scratch_shapes=[
             vmem((b, d), bf),                       # x_all
             vmem((2, tile_b, BLK, d), bf),          # kbuf
             vmem((2, tile_b, BLK, d), bf),          # vbuf
-            vmem((ntiles, tile_b, d), bf),          # kcur
-            vmem((ntiles, tile_b, d), bf),          # vcur
             vmem((tile_b, d), f32),                 # acc
             vmem((tile_b, nheads), f32),            # running max
             vmem((tile_b, nheads), f32),            # running denom
@@ -512,19 +490,28 @@ def fused_decode_step(
             vmem((ffn, d), bf),                     # l2_buf
             pltpu.SemaphoreType.DMA((6,)),          # weight sems
             pltpu.SemaphoreType.DMA((2, 2)),        # kv read sems
-            pltpu.SemaphoreType.DMA((ntiles, 2)),   # cache write sems
         ],
-        input_output_aliases={22: 2, 23: 3},  # kc, vc -> outputs 2, 3
         interpret=interpret,
     )(
         jnp.asarray(index, jnp.int32).reshape(1, 1),
         tok.astype(jnp.int32).reshape(b, 1),
-        weights.embed, weights.pe, weights.fc_w, weights.fc_b,
+        weights.embed, pe_row, weights.fc_w, weights.fc_b,
         weights.ln_s, weights.ln_b,
         weights.qkv_b, weights.out_b, weights.q_b, weights.co_b,
         weights.l1_b, weights.l2_b,
         weights.qkv_w, weights.out_w, weights.q_w, weights.co_w,
         weights.l1_w, weights.l2_w,
         cross_k, cross_v, k_cache, v_cache,
+    )
+    # Scatter the new K/V rows into the caches (all layers in one DUS each).
+    # XLA keeps this in-place inside the decode while_loop; the traffic is
+    # L*B*d*2 bytes per cache (~0.8 MB at b=64) — noise next to the weights.
+    idx32 = jnp.asarray(index, jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_new[:, :, None, :], (zero, zero, idx32, zero)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_new[:, :, None, :], (zero, zero, idx32, zero)
     )
     return logits, nxt[:, 0], k_cache, v_cache
