@@ -59,6 +59,7 @@ from image_caption_tpu.models.layers import sinusoidal_position_encoding
 
 BLK = 16  # cache/memory block (bf16 sublane tile), shared with decode_attention
 TILE_B = 64  # batch rows per in-kernel tile
+_CHUNK_D = 256  # d-chunk for f32 attention temporaries (scoped-VMEM budget)
 _NEG_INF = -1e30
 
 
@@ -166,7 +167,7 @@ def init_fused_cache(batch: int, max_len: int, d_model: int, num_layers: int):
 
 def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                  tile_b: int, ntiles: int, s_len: int, s_pad: int,
-                 vocab: int, vpad: int):
+                 vocab: int, vpad: int, lpad: int):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -192,7 +193,7 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                qkv_w_hbm, out_w_hbm, q_w_hbm, co_w_hbm, l1_w_hbm, l2_w_hbm,
                ck_hbm, cv_hbm, kc_hbm, vc_hbm,          # HBM cross K/V + self caches
                logits_ref, next_ref, knew_ref, vnew_ref,  # outputs
-               x_all, kbuf, vbuf, acc, m_ref, l_ref,
+               x_all, kbuf, acc, s_all,
                qkv_buf, out_buf, q_buf, co_buf, l1_buf, l2_buf,
                w_sems, kv_sems):
         # The self caches are READ-ONLY here.  The new K/V row for position
@@ -225,15 +226,43 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
         # vector.load a dynamically-indexed single bf16 row from VMEM)
         x_all[:] = x + pe_row_ref[:]
 
-        def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk, valid_len,
-                   cur_k=None, cur_v=None):
-            """Online-softmax attention of q_rows [TB, d] over blocked HBM K/V;
-            optionally folds in the current token's K/V held in VMEM (its cache
-            row is still being written, and positions < idx never read it)."""
-            acc[:] = jnp.zeros_like(acc)
-            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-            l_ref[:] = jnp.zeros_like(l_ref)
+        # Constant 0/1 head matrices: HS [d, H] sums each head's 64 lanes via
+        # ONE MXU matmul (a cross-LANE reduction is ~10x slower on the VPU —
+        # the round-3 per-head loop spent 80% of the kernel there); HE [H, d]
+        # broadcasts per-head scalars back across the head's lanes, also MXU.
+        _dr = lax.broadcasted_iota(jnp.int32, (d, nheads), 0)
+        _hc = lax.broadcasted_iota(jnp.int32, (d, nheads), 1)
+        head_sum = (_dr // head_dim == _hc).astype(jnp.float32)
+        head_expand = head_sum.T
 
+        def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk_max, nblk,
+                   valid_len, cur_k=None, cur_v=None):
+            """Two-pass attention of q_rows [TB, d] over blocked HBM K/V.
+
+            Pass 1 streams K blocks and writes f32 scores for all heads into
+            ``s_all`` [TB, nblk_max*BLK, H]; a full (non-online) softmax runs
+            once; pass 2 streams V blocks and accumulates PV into ``acc``.
+            The block loop is PYTHON-UNROLLED (nblk_max <= 4 at these
+            geometries) with ``pl.when(blk < nblk)`` guards for the dynamic
+            self-attn block count; traffic is identical to the online version
+            (K and V each read once).  Optionally folds in the current token's
+            K/V held in VMEM (its cache row is scattered after the kernel).
+            QK products and PV weighting are f32 (bf16 inputs upcast), so
+            sums match the layerwise path to reduction order.
+            """
+            static = isinstance(nblk, int)
+
+            def guard(blk):
+                return True if static else blk < nblk
+
+            def when(cond, fn):
+                if cond is True:
+                    fn()
+                else:
+                    pl.when(cond)(fn)
+
+            # K (pass 1) and V (pass 2) are never resident at once, so both
+            # stream through the SAME 2-slot buffer (scoped-VMEM budget)
             def k_dma(slot, blk):
                 return pltpu.make_async_copy(
                     kv_k_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
@@ -243,70 +272,83 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
             def v_dma(slot, blk):
                 return pltpu.make_async_copy(
                     kv_v_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
-                    vbuf.at[slot], kv_sems.at[slot, 1],
+                    kbuf.at[slot], kv_sems.at[slot, 1],
                 )
 
-            @pl.when(nblk > 0)
-            def _start():
-                k_dma(0, 0).start()
-                v_dma(0, 0).start()
+            # ---- pass 1: K blocks -> scores ---------------------------------
+            when(guard(0), lambda: k_dma(0, 0).start())
+            for blk in range(nblk_max):
+                if blk + 1 < nblk_max:
+                    when(guard(blk + 1), lambda b=blk: k_dma((b + 1) % 2, b + 1).start())
 
-            def blk_body(blk, carry):
-                slot = lax.rem(blk, 2)
-                nxt = lax.rem(blk + 1, 2)
-
-                @pl.when(blk + 1 < nblk)
-                def _prefetch():
-                    k_dma(nxt, blk + 1).start()
-                    v_dma(nxt, blk + 1).start()
-
-                k_dma(slot, blk).wait()
-                v_dma(slot, blk).wait()
-                pos = blk * BLK + lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-                valid = pos < valid_len
-                for h in range(nheads):
-                    hs = slice(h * head_dim, (h + 1) * head_dim)
-                    q_h = q_rows[:, hs].astype(jnp.float32)
-                    k_h = kbuf[slot][:, :, hs].astype(jnp.float32)
-                    scores = jnp.sum(q_h[:, None, :] * k_h, axis=-1) * scale
-                    scores = jnp.where(valid, scores, _NEG_INF)
-                    m_old = m_ref[:, h : h + 1]
-                    m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
-                    alpha = jnp.exp(m_old - m_new)
-                    pr = jnp.exp(scores - m_new)
-                    l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + jnp.sum(
-                        pr, axis=1, keepdims=True
+                def qk(b=blk):
+                    k_dma(b % 2, b).wait()
+                    # chunk the f32 product over d: a full [TB, BLK, d] f32
+                    # temp (2 MB) pushed scoped VMEM past its 16 MB limit
+                    s_blk = None
+                    for c0 in range(0, d, _CHUNK_D):
+                        cw = min(_CHUNK_D, d - c0)
+                        cs = slice(c0, c0 + cw)
+                        pp = (q_rows[:, cs].astype(jnp.float32)[:, None, :]
+                              * kbuf[b % 2][:, :, cs].astype(jnp.float32))
+                        part = jnp.dot(
+                            pp.reshape(tile_b * BLK, cw), head_sum[cs, :],
+                            preferred_element_type=jnp.float32,
+                        )                                            # [TB*BLK, H]
+                        s_blk = part if s_blk is None else s_blk + part
+                    s_all[:, b * BLK:(b + 1) * BLK, :] = (s_blk * scale).reshape(
+                        tile_b, BLK, nheads
                     )
-                    pv = jnp.sum(
-                        pr[:, :, None] * vbuf[slot][:, :, hs].astype(jnp.float32), axis=1
-                    )
-                    acc[:, hs] = acc[:, hs] * alpha + pv
-                    m_ref[:, h : h + 1] = m_new
-                return carry
 
-            lax.fori_loop(0, nblk, blk_body, 0)
+                when(guard(blk), qk)
 
+            # ---- softmax over the full (masked) length ----------------------
+            pos = lax.broadcasted_iota(jnp.int32, (1, nblk_max * BLK, 1), 1)
+            s = jnp.where(pos < valid_len, s_all[:, :nblk_max * BLK, :], _NEG_INF)
+            m = jnp.max(s, axis=1)                                   # [TB, H]
             if cur_k is not None:
-                for h in range(nheads):
-                    hs = slice(h * head_dim, (h + 1) * head_dim)
-                    q_h = q_rows[:, hs].astype(jnp.float32)
-                    s_cur = jnp.sum(q_h * cur_k[:, hs].astype(jnp.float32),
-                                    axis=-1, keepdims=True) * scale
-                    m_old = m_ref[:, h : h + 1]
-                    m_new = jnp.maximum(m_old, s_cur)
-                    alpha = jnp.exp(m_old - m_new)
-                    pr = jnp.exp(s_cur - m_new)
-                    l_ref[:, h : h + 1] = l_ref[:, h : h + 1] * alpha + pr
-                    acc[:, hs] = acc[:, hs] * alpha + pr * cur_v[:, hs].astype(jnp.float32)
-                    m_ref[:, h : h + 1] = m_new
+                ppc = q_rows.astype(jnp.float32) * cur_k.astype(jnp.float32)
+                s_cur = jnp.dot(ppc, head_sum,
+                                preferred_element_type=jnp.float32) * scale  # [TB, H]
+                m = jnp.maximum(m, s_cur)
+            pr = jnp.exp(s - m[:, None, :])                          # [TB, P, H]
+            denom = jnp.sum(pr, axis=1)                              # [TB, H]
+            if cur_k is not None:
+                pr_cur = jnp.exp(s_cur - m)
+                denom = denom + pr_cur
 
-            return jnp.concatenate(
-                [
-                    (acc[:, h * head_dim : (h + 1) * head_dim] / l_ref[:, h : h + 1])
-                    for h in range(nheads)
-                ],
-                axis=1,
-            ).astype(bf)
+            # ---- pass 2: V blocks -> PV -------------------------------------
+            when(guard(0), lambda: v_dma(0, 0).start())
+            acc[:] = jnp.zeros_like(acc)
+            for blk in range(nblk_max):
+                if blk + 1 < nblk_max:
+                    when(guard(blk + 1), lambda b=blk: v_dma((b + 1) % 2, b + 1).start())
+
+                def pv(b=blk):
+                    v_dma(b % 2, b).wait()
+                    pr_flat = pr[:, b * BLK:(b + 1) * BLK, :].reshape(
+                        tile_b * BLK, nheads
+                    )
+                    for c0 in range(0, d, _CHUNK_D):
+                        cw = min(_CHUNK_D, d - c0)
+                        cs = slice(c0, c0 + cw)
+                        w = jnp.dot(
+                            pr_flat, head_expand[:, cs],
+                            preferred_element_type=jnp.float32,
+                        ).reshape(tile_b, BLK, cw)                   # f32 probs per lane
+                        acc[:, cs] += jnp.sum(
+                            w * kbuf[b % 2][:, :, cs].astype(jnp.float32), axis=1
+                        )
+
+                when(guard(blk), pv)
+
+            out = acc[:]
+            if cur_k is not None:
+                wc = jnp.dot(pr_cur, head_expand, preferred_element_type=jnp.float32)
+                out = out + wc * cur_v.astype(jnp.float32)
+            inv = jnp.dot(1.0 / denom, head_expand,
+                          preferred_element_type=jnp.float32)        # [TB, d]
+            return (out * inv).astype(bf)
 
         def bias_row(ref, layer):
             return ref[pl.ds(layer, 1), :]  # [1, n] broadcasts over rows
@@ -334,8 +376,8 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 q_rows, k_row, v_row = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
                 knew_ref[layer, pl.ds(row0, tile_b), :] = k_row
                 vnew_ref[layer, pl.ds(row0, tile_b), :] = v_row
-                o = attend(q_rows, kc_hbm, vc_hbm, layer, row0, nblk_self, idx,
-                           cur_k=k_row, cur_v=v_row)
+                o = attend(q_rows, kc_hbm, vc_hbm, layer, row0, lpad // BLK,
+                           nblk_self, idx, cur_k=k_row, cur_v=v_row)
                 if t == ntiles - 1:
                     if layer + 1 < num_layers:
                         w_dma(0, layer + 1).start()
@@ -355,7 +397,8 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                              ).astype(bf) + bias_row(q_b_ref, layer)
                 if t == ntiles - 1 and layer + 1 < num_layers:
                     w_dma(2, layer + 1).start()
-                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len)
+                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk,
+                            n_cross_blk, s_len)
                 if t == 0:
                     w_dma(3, layer).wait()
                 delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32
@@ -445,7 +488,7 @@ def fused_decode_step(
     assert b % tile_b == 0 and b % BLK == 0, (b, tile_b)
 
     kernel = _make_kernel(
-        num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad
+        num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad, lpad
     )
     f32, bf = jnp.float32, jnp.bfloat16
     vmem = lambda shape, dt: pltpu.VMEM(shape, dt)  # noqa: E731
@@ -477,11 +520,9 @@ def fused_decode_step(
         out_specs=(vmem_spec, vmem_spec, vmem_spec, vmem_spec),
         scratch_shapes=[
             vmem((b, d), bf),                       # x_all
-            vmem((2, tile_b, BLK, d), bf),          # kbuf
-            vmem((2, tile_b, BLK, d), bf),          # vbuf
+            vmem((2, tile_b, BLK, d), bf),          # kbuf (K pass 1 / V pass 2)
             vmem((tile_b, d), f32),                 # acc
-            vmem((tile_b, nheads), f32),            # running max
-            vmem((tile_b, nheads), f32),            # running denom
+            vmem((tile_b, max(lpad, s_pad), nheads), f32),  # s_all (scores)
             vmem((d, 3 * d), bf),                   # qkv_buf
             vmem((d, d), bf),                       # out_buf
             vmem((d, d), bf),                       # q_buf
