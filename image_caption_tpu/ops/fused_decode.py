@@ -193,7 +193,7 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                qkv_w_hbm, out_w_hbm, q_w_hbm, co_w_hbm, l1_w_hbm, l2_w_hbm,
                ck_hbm, cv_hbm, kc_hbm, vc_hbm,          # HBM cross K/V + self caches
                logits_ref, next_ref, knew_ref, vnew_ref,  # outputs
-               x_all, kbuf, acc, s_all,
+               x_all, kbuf, vbuf,
                qkv_buf, out_buf, q_buf, co_buf, l1_buf, l2_buf,
                w_sems, kv_sems):
         # The self caches are READ-ONLY here.  The new K/V row for position
@@ -235,34 +235,24 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
         head_sum = (_dr // head_dim == _hc).astype(jnp.float32)
         head_expand = head_sum.T
 
-        def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk_max, nblk,
+        def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk,
                    valid_len, cur_k=None, cur_v=None):
-            """Two-pass attention of q_rows [TB, d] over blocked HBM K/V.
+            """Online-softmax attention of q_rows [TB, d] over blocked HBM K/V.
 
-            Pass 1 streams K blocks and writes f32 scores for all heads into
-            ``s_all`` [TB, nblk_max*BLK, H]; a full (non-online) softmax runs
-            once; pass 2 streams V blocks and accumulates PV into ``acc``.
-            The block loop is PYTHON-UNROLLED (nblk_max <= 4 at these
-            geometries) with ``pl.when(blk < nblk)`` guards for the dynamic
-            self-attn block count; traffic is identical to the online version
-            (K and V each read once).  Optionally folds in the current token's
-            K/V held in VMEM (its cache row is scattered after the kernel).
-            QK products and PV weighting are f32 (bf16 inputs upcast), so
-            sums match the layerwise path to reduction order.
+            One ``fori_loop`` over KV blocks (single body trace — unrolling
+            the blocks in Python made Mosaic keep every block's temporaries
+            alive on the scoped-VMEM stack, OOMing at ViT's 13 cross blocks).
+            Per block, QK contracts per head via one MXU matmul against the
+            constant 0/1 ``head_sum`` [d, H] (a cross-LANE reduce on the VPU
+            was 10x slower); PV expands probs back across each head's lanes
+            with ``head_expand`` on the MXU and reduces over the cheap
+            sublane axis.  Running max/denominator/accumulator ride the loop
+            carry.  Optionally folds in the current token's K/V held in VMEM
+            (its cache row is scattered after the kernel).  Products and
+            accumulation are f32, matching the layerwise path to reduction
+            order.
             """
-            static = isinstance(nblk, int)
 
-            def guard(blk):
-                return True if static else blk < nblk
-
-            def when(cond, fn):
-                if cond is True:
-                    fn()
-                else:
-                    pl.when(cond)(fn)
-
-            # K (pass 1) and V (pass 2) are never resident at once, so both
-            # stream through the SAME 2-slot buffer (scoped-VMEM budget)
             def k_dma(slot, blk):
                 return pltpu.make_async_copy(
                     kv_k_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
@@ -272,81 +262,82 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
             def v_dma(slot, blk):
                 return pltpu.make_async_copy(
                     kv_v_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
-                    kbuf.at[slot], kv_sems.at[slot, 1],
+                    vbuf.at[slot], kv_sems.at[slot, 1],
                 )
 
-            # ---- pass 1: K blocks -> scores ---------------------------------
-            when(guard(0), lambda: k_dma(0, 0).start())
-            for blk in range(nblk_max):
-                if blk + 1 < nblk_max:
-                    when(guard(blk + 1), lambda b=blk: k_dma((b + 1) % 2, b + 1).start())
+            @pl.when(nblk > 0)
+            def _start():
+                k_dma(0, 0).start()
+                v_dma(0, 0).start()
 
-                def qk(b=blk):
-                    k_dma(b % 2, b).wait()
-                    # chunk the f32 product over d: a full [TB, BLK, d] f32
-                    # temp (2 MB) pushed scoped VMEM past its 16 MB limit
-                    s_blk = None
-                    for c0 in range(0, d, _CHUNK_D):
-                        cw = min(_CHUNK_D, d - c0)
-                        cs = slice(c0, c0 + cw)
-                        pp = (q_rows[:, cs].astype(jnp.float32)[:, None, :]
-                              * kbuf[b % 2][:, :, cs].astype(jnp.float32))
-                        part = jnp.dot(
-                            pp.reshape(tile_b * BLK, cw), head_sum[cs, :],
-                            preferred_element_type=jnp.float32,
-                        )                                            # [TB*BLK, H]
-                        s_blk = part if s_blk is None else s_blk + part
-                    s_all[:, b * BLK:(b + 1) * BLK, :] = (s_blk * scale).reshape(
-                        tile_b, BLK, nheads
+            m0 = jnp.full((tile_b, nheads), _NEG_INF, jnp.float32)
+            l0 = jnp.zeros((tile_b, nheads), jnp.float32)
+            a0 = jnp.zeros((tile_b, d), jnp.float32)
+
+            def blk_body(blk, carry):
+                m_old, l_old, acc_old = carry
+                slot = lax.rem(blk, 2)
+
+                @pl.when(blk + 1 < nblk)
+                def _prefetch():
+                    k_dma(lax.rem(blk + 1, 2), blk + 1).start()
+                    v_dma(lax.rem(blk + 1, 2), blk + 1).start()
+
+                k_dma(slot, blk).wait()
+                # QK: per-head lane sums via MXU (chunked over d)
+                s_blk = None
+                for c0 in range(0, d, _CHUNK_D):
+                    cw = min(_CHUNK_D, d - c0)
+                    pp = (q_rows[:, c0:c0 + cw].astype(jnp.float32)[:, None, :]
+                          * kbuf[slot][:, :, c0:c0 + cw].astype(jnp.float32))
+                    part = jnp.dot(
+                        pp.reshape(tile_b * BLK, cw), head_sum[c0:c0 + cw, :],
+                        preferred_element_type=jnp.float32,
                     )
+                    s_blk = part if s_blk is None else s_blk + part
+                s_blk = (s_blk * scale).reshape(tile_b, BLK, nheads)
+                pos = blk * BLK + lax.broadcasted_iota(jnp.int32, (1, BLK, 1), 1)
+                s_blk = jnp.where(pos < valid_len, s_blk, _NEG_INF)
 
-                when(guard(blk), qk)
+                m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=1))   # [TB, H]
+                alpha = jnp.exp(m_old - m_new)
+                pr_blk = jnp.exp(s_blk - m_new[:, None, :])          # [TB, BLK, H]
+                l_new = l_old * alpha + jnp.sum(pr_blk, axis=1)
 
-            # ---- softmax over the full (masked) length ----------------------
-            pos = lax.broadcasted_iota(jnp.int32, (1, nblk_max * BLK, 1), 1)
-            s = jnp.where(pos < valid_len, s_all[:, :nblk_max * BLK, :], _NEG_INF)
-            m = jnp.max(s, axis=1)                                   # [TB, H]
+                v_dma(slot, blk).wait()
+                # PV: expand probs across each head's lanes via MXU (chunked)
+                alpha_d = jnp.dot(alpha, head_expand,
+                                  preferred_element_type=jnp.float32)  # [TB, d]
+                pv = None
+                pr_flat = pr_blk.reshape(tile_b * BLK, nheads)
+                for c0 in range(0, d, _CHUNK_D):
+                    cw = min(_CHUNK_D, d - c0)
+                    w = jnp.dot(
+                        pr_flat, head_expand[:, c0:c0 + cw],
+                        preferred_element_type=jnp.float32,
+                    ).reshape(tile_b, BLK, cw)
+                    part = jnp.sum(
+                        w * vbuf[slot][:, :, c0:c0 + cw].astype(jnp.float32), axis=1
+                    )
+                    pv = part if pv is None else jnp.concatenate([pv, part], axis=-1)
+                return m_new, l_new, acc_old * alpha_d + pv
+
+            m, l, out = lax.fori_loop(0, nblk, blk_body, (m0, l0, a0))
+
             if cur_k is not None:
                 ppc = q_rows.astype(jnp.float32) * cur_k.astype(jnp.float32)
                 s_cur = jnp.dot(ppc, head_sum,
                                 preferred_element_type=jnp.float32) * scale  # [TB, H]
-                m = jnp.maximum(m, s_cur)
-            pr = jnp.exp(s - m[:, None, :])                          # [TB, P, H]
-            denom = jnp.sum(pr, axis=1)                              # [TB, H]
-            if cur_k is not None:
-                pr_cur = jnp.exp(s_cur - m)
-                denom = denom + pr_cur
-
-            # ---- pass 2: V blocks -> PV -------------------------------------
-            when(guard(0), lambda: v_dma(0, 0).start())
-            acc[:] = jnp.zeros_like(acc)
-            for blk in range(nblk_max):
-                if blk + 1 < nblk_max:
-                    when(guard(blk + 1), lambda b=blk: v_dma((b + 1) % 2, b + 1).start())
-
-                def pv(b=blk):
-                    v_dma(b % 2, b).wait()
-                    pr_flat = pr[:, b * BLK:(b + 1) * BLK, :].reshape(
-                        tile_b * BLK, nheads
-                    )
-                    for c0 in range(0, d, _CHUNK_D):
-                        cw = min(_CHUNK_D, d - c0)
-                        cs = slice(c0, c0 + cw)
-                        w = jnp.dot(
-                            pr_flat, head_expand[:, cs],
-                            preferred_element_type=jnp.float32,
-                        ).reshape(tile_b, BLK, cw)                   # f32 probs per lane
-                        acc[:, cs] += jnp.sum(
-                            w * kbuf[b % 2][:, :, cs].astype(jnp.float32), axis=1
-                        )
-
-                when(guard(blk), pv)
-
-            out = acc[:]
-            if cur_k is not None:
+                m_new = jnp.maximum(m, s_cur)
+                alpha = jnp.exp(m - m_new)
+                pr_cur = jnp.exp(s_cur - m_new)
+                l = l * alpha + pr_cur
+                alpha_d = jnp.dot(alpha, head_expand,
+                                  preferred_element_type=jnp.float32)
                 wc = jnp.dot(pr_cur, head_expand, preferred_element_type=jnp.float32)
-                out = out + wc * cur_v.astype(jnp.float32)
-            inv = jnp.dot(1.0 / denom, head_expand,
+                out = out * alpha_d + wc * cur_v.astype(jnp.float32)
+
+            inv = jnp.dot(1.0 / l, head_expand,
                           preferred_element_type=jnp.float32)        # [TB, d]
             return (out * inv).astype(bf)
 
@@ -376,7 +367,7 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                 q_rows, k_row, v_row = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
                 knew_ref[layer, pl.ds(row0, tile_b), :] = k_row
                 vnew_ref[layer, pl.ds(row0, tile_b), :] = v_row
-                o = attend(q_rows, kc_hbm, vc_hbm, layer, row0, lpad // BLK,
+                o = attend(q_rows, kc_hbm, vc_hbm, layer, row0,
                            nblk_self, idx, cur_k=k_row, cur_v=v_row)
                 if t == ntiles - 1:
                     if layer + 1 < num_layers:
@@ -397,8 +388,7 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                              ).astype(bf) + bias_row(q_b_ref, layer)
                 if t == ntiles - 1 and layer + 1 < num_layers:
                     w_dma(2, layer + 1).start()
-                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk,
-                            n_cross_blk, s_len)
+                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len)
                 if t == 0:
                     w_dma(3, layer).wait()
                 delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32
@@ -520,9 +510,8 @@ def fused_decode_step(
         out_specs=(vmem_spec, vmem_spec, vmem_spec, vmem_spec),
         scratch_shapes=[
             vmem((b, d), bf),                       # x_all
-            vmem((2, tile_b, BLK, d), bf),          # kbuf (K pass 1 / V pass 2)
-            vmem((tile_b, d), f32),                 # acc
-            vmem((tile_b, max(lpad, s_pad), nheads), f32),  # s_all (scores)
+            vmem((2, tile_b, BLK, d), bf),          # kbuf
+            vmem((2, tile_b, BLK, d), bf),          # vbuf
             vmem((d, 3 * d), bf),                   # qkv_buf
             vmem((d, d), bf),                       # out_buf
             vmem((d, d), bf),                       # q_buf
