@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--max-len", type=int, default=52)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--logits-delta", action="store_true",
+                    help="also teacher-force both per-step paths and report "
+                         "max logit delta + margins at argmax flips")
     args = ap.parse_args()
     if args.cpu:
         from image_caption_tpu.utils.platform import force_cpu
@@ -107,7 +110,7 @@ def main():
             tok_same += int(np.sum(ref[r, :n] == fused[r, :n]))
             tok_total += n
 
-    print(json.dumps({
+    out = {
         "weights": src,
         "backend": jax.default_backend(),
         "interpret": interpret,
@@ -118,7 +121,67 @@ def main():
         "caption_identity": round(cap_same / max(cap_total, 1), 6),
         "tokens": tok_total,
         "captions": cap_total,
-    }))
+    }
+
+    if args.logits_delta:
+        # Teacher-force the LAYERWISE rollout's own tokens through BOTH
+        # per-step paths and compare logits: if argmax disagreements only
+        # occur where the layerwise top1-top2 margin is ~ the measured
+        # fused-vs-layerwise logit delta, divergences are reduction-order
+        # near-tie flips, not a kernel bug.
+        from image_caption_tpu.decode import engine as E
+        from image_caption_tpu.ops import fused_decode as F
+
+        spec = E._fused_spec(module, variables) or dict(
+            num_layers=module.num_decoder_layers, d_model=module.d_model,
+            nhead=module.nhead, vocab=module.vocab_size,
+        )
+        images = jnp.asarray(
+            rng_np.integers(0, 255, size=(args.batch, 256, 256, 3), dtype=np.uint8)
+        )
+        memory = module.apply(variables, eval_preprocess(images), method=module.encode)
+        ref_toks = np.asarray(engine.greedy_decode(
+            module, variables, memory, start_id=107, end_id=108,
+            max_len=args.max_len, fused=False,
+        ))
+        d, L, V = spec["d_model"], spec["num_layers"], spec["vocab"]
+        dec = variables["params"]["decoder"]
+        w = F.pack_weights(dec, num_layers=L, d_model=d, vocab_size=V,
+                           padded_vocab=F._round_up(V, 128), max_len=args.max_len)
+        ck, cv, s_len = F.pack_cross_kv(dec, memory, num_layers=L)
+        kc, vc = F.init_fused_cache(args.batch, args.max_len, d, L)
+        cache = module.apply(variables, memory, args.max_len, method=module.init_cache)
+        n_steps = min(args.max_len - 1, 24)
+        max_d = 0.0
+        n_flips = 0
+        min_flip_margin = None
+        for t in range(n_steps):
+            tok = jnp.asarray(ref_toks[:, t])
+            lg, _, kc, vc = F.fused_decode_step(
+                tok, kc, vc, ck, cv, w, jnp.int32(t),
+                num_layers=L, nheads=spec["nhead"], s_len=s_len,
+                vocab=V, interpret=interpret)
+            rl, cache = module.apply(variables, tok, cache, jnp.int32(t),
+                                     method=module.decode_step)
+            got = np.asarray(lg)[:, :V]
+            want = np.asarray(rl)[:, :V]
+            max_d = max(max_d, float(np.max(np.abs(got - want))))
+            flip = np.argmax(got, -1) != np.argmax(want, -1)
+            if flip.any():
+                n_flips += int(flip.sum())
+                srt = np.sort(want[flip], axis=-1)
+                margin = float(np.min(srt[:, -1] - srt[:, -2]))
+                min_flip_margin = margin if min_flip_margin is None else min(
+                    min_flip_margin, margin)
+        out["logits_delta"] = {
+            "steps": n_steps,
+            "max_abs_logit_delta": round(max_d, 6),
+            "argmax_flips": n_flips,
+            "min_margin_at_flip": None if min_flip_margin is None
+            else round(min_flip_margin, 6),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
