@@ -60,7 +60,23 @@ def _frozen_prefix(config) -> str:
     return "encoder/cnn" if config.get("model_type") == "grid_transformer" else "encoder/vit"
 
 
+def _apply_rng_impl(config) -> None:
+    """Select the PRNG implementation for this run (config key ``rng_impl``).
+
+    Default ``rbg`` (XLA RngBitGenerator — the TPU's hardware RNG): threefry
+    dropout-mask generation measured 31 ms of a 126 ms b=256 grid train step
+    on the v5e (XLA recomputes the masks in the backward, doubling the 16 ms
+    forward cost; scripts/bench_train_step.py --split / --rng-impl), and rbg
+    removes it: 95.3 ms/step, MFU 0.31 -> 0.41.  ``threefry2x32`` restores
+    the portable counter-based stream (`--set rng_impl=threefry2x32`); mask
+    STREAMS differ between impls, so fixed-seed curves are not comparable
+    across the switch (resume within a run is — the impl rides the config).
+    """
+    jax.config.update("jax_default_prng_impl", config.get("rng_impl", "rbg"))
+
+
 def _build(config, vocab):
+    _apply_rng_impl(config)
     module = build_module(len(vocab), config)
     rng = jax.random.PRNGKey(config.get("seed", 42))
     # jit the whole init: one compiled program instead of thousands of

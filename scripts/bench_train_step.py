@@ -109,7 +109,10 @@ def main():
             "caption": jnp.asarray(cap),
             "length": jnp.full((b,), 52, dtype=jnp.int32),
         }
-        rng = jax.random.PRNGKey(1, impl=args.rng_impl)
+        # legacy raw keys get re-wrapped with the DEFAULT impl inside split(),
+        # so the impl must be switched globally, not per-key
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
+        rng = jax.random.PRNGKey(1)
 
         @jax.jit
         def run(state, batch, k):
