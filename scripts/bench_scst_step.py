@@ -45,6 +45,9 @@ def main():
         num_decoder_layers=6, dim_feedforward=2048, dropout=0.1, max_len=54,
     )
     module = build_module(V, config)
+    # match the driver's default PRNG (rbg on TPU — see train/driver.py
+    # _apply_rng_impl; the sampling rollout draws categoricals per token step)
+    jax.config.update("jax_default_prng_impl", os.environ.get("ICT_RNG_IMPL", "rbg"))
     key = jax.random.PRNGKey(0)
     variables = module.init(
         {"params": key, "dropout": key},
