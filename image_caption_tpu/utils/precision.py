@@ -32,6 +32,11 @@ from flax import traverse_util
 # and models/resnet.py.  A future f32-computing module that reuses one of these
 # names would be silently cast; the bitwise tests in tests/test_precision.py are
 # the guard and must be extended with any new model type.
+# COUPLING GUARD: matching is by BARE module name — a future f32-computing
+# module that reuses one of these names would be silently cast and change
+# numerics.  If you add/rename a module in models/, check this set; the
+# bitwise-identity tests (tests/test_precision.py) only cover the two
+# existing model types.
 # Module names whose kernel/bias are consumed in compute_dtype (bf16):
 # - transformer blocks: SelfAttention.qkv/out, CrossAttention.q_proj/kv_proj/out,
 #   FeedForward.linear1/linear2 (models/layers.py::_dense)
