@@ -124,7 +124,9 @@ def strong_augment(key: jax.Array, images: jnp.ndarray, size: int = CROP) -> jnp
     random erasing + normalize (mirrors CaptionAugmentation, optimizations.py:163-192)."""
     b = images.shape[0]
     keys = jax.random.split(key, b * 4 + 1)
-    k_flip, per = keys[0], keys[1:].reshape(b, 4, 2)
+    # raw key width is impl-dependent (threefry2x32: 2 words, rbg: 4) — keep
+    # the reshape width-agnostic so the augment works under either PRNG
+    k_flip, per = keys[0], keys[1:].reshape(b, 4, keys.shape[-1])
     imgs = images.astype(jnp.float32)
     imgs = jax.vmap(lambda im, k: _rrc_one(im, k, size, (0.8, 1.0)))(imgs, per[:, 0])
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))

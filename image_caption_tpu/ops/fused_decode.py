@@ -167,7 +167,7 @@ def init_fused_cache(batch: int, max_len: int, d_model: int, num_layers: int):
 
 def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                  tile_b: int, ntiles: int, s_len: int, s_pad: int,
-                 vocab: int, vpad: int, lpad: int):
+                 vocab: int, vpad: int):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -439,8 +439,8 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
 )
 def fused_decode_step(
     tok: jnp.ndarray,          # [B] int32 current tokens
-    k_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (aliased in/out)
-    v_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (aliased in/out)
+    k_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
+    v_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
     cross_k: jnp.ndarray,      # [L, B, Spad, d] bf16
     cross_v: jnp.ndarray,      # [L, B, Spad, d] bf16
     weights: FusedWeights,
@@ -478,7 +478,7 @@ def fused_decode_step(
     assert b % tile_b == 0 and b % BLK == 0, (b, tile_b)
 
     kernel = _make_kernel(
-        num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad, lpad
+        num_layers, nheads, head_dim, tile_b, ntiles, s_len, s_pad, vocab, vpad
     )
     f32, bf = jnp.float32, jnp.bfloat16
     vmem = lambda shape, dt: pltpu.VMEM(shape, dt)  # noqa: E731

@@ -72,7 +72,17 @@ def _apply_rng_impl(config) -> None:
     STREAMS differ between impls, so fixed-seed curves are not comparable
     across the switch (resume within a run is — the impl rides the config).
     """
-    jax.config.update("jax_default_prng_impl", config.get("rng_impl", "rbg"))
+    config.setdefault("rng_impl", "rbg")  # pin into the run config -> persisted in checkpoints
+    jax.config.update("jax_default_prng_impl", config["rng_impl"])
+
+
+def _pin_rng_impl_from_resume(config, resume_ck) -> None:
+    """A checkpoint written before ``rng_impl`` existed was trained under the
+    old threefry default — resuming it must NOT silently switch the dropout
+    mask stream to rbg mid-run (mask streams differ between impls).  The
+    caller's explicit ``rng_impl`` (if any) still wins."""
+    if "rng_impl" not in config:
+        config["rng_impl"] = resume_ck.get("config", {}).get("rng_impl", "threefry2x32")
 
 
 def _build(config, vocab):
@@ -325,6 +335,13 @@ def fit(
         seed=config.get("seed", 42),
         drop_last_train=(regime == "optimized"),
     )
+    start_epoch = 1
+    resume_ck = None
+    if resume_from:
+        resume_ck = load_checkpoint(resume_from)
+        _pin_rng_impl_from_resume(config, resume_ck)
+        start_epoch = int(resume_ck.get("epoch", 0)) + 1
+        print(f"resuming from {resume_from} at epoch {start_epoch} (step {resume_ck.get('step')})")
     module, variables = _build(config, vocab)
     frozen = _frozen_prefix(config)
     pad_id = vocab.pad_id
@@ -381,13 +398,6 @@ def fit(
             lambda lab: lab != "frozen",
             label_params_by_prefix(variables["params"], {frozen: "frozen"}),
         )
-
-    start_epoch = 1
-    resume_ck = None
-    if resume_from:
-        resume_ck = load_checkpoint(resume_from)
-        start_epoch = int(resume_ck.get("epoch", 0)) + 1
-        print(f"resuming from {resume_from} at epoch {start_epoch} (step {resume_ck.get('step')})")
 
     unfreeze_epoch_cfg = config.get("unfreeze_epoch")
     start_unfrozen = bool(unfreeze_epoch_cfg and start_epoch > unfreeze_epoch_cfg)
@@ -556,6 +566,10 @@ def fit_scst(
         max_len=config.get("max_len", 52) - 2,
         seed=config.get("seed", 42),
     )
+    resume_ck = None
+    if resume_from:
+        resume_ck = load_checkpoint(resume_from)
+        _pin_rng_impl_from_resume(config, resume_ck)
     module, variables = _build(config, vocab)
 
     # -- REQUIRED pretrained XE checkpoint (reference :388-394) --------------
@@ -636,8 +650,7 @@ def fit_scst(
     saver = _AsyncSaver()
     best_cider = -1.0
     start_epoch = 1
-    if resume_from:
-        resume_ck = load_checkpoint(resume_from)
+    if resume_ck is not None:
         state = _restore_state(state, resume_ck, ema)
         _load_host_state(resume_ck, early=early)
         best_cider = float(resume_ck.get("best_cider", -1.0))
