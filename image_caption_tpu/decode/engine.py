@@ -98,6 +98,27 @@ def _fused_spec(model, variables) -> Optional[dict]:
     return dict(num_layers=layers, d_model=d, nhead=h, vocab=vocab)
 
 
+def _fused_pack(model, variables, memory, max_len: int):
+    """Shared packing for the fused decode paths (greedy/beam/sample): pad the
+    row count to the kernel's 16-multiple contract, pack decoder weights and
+    per-layer cross K/V, allocate zeroed self caches.  Pure jnp — safe inside
+    jit.  Returns ``(weights, ck, cv, s_len, kc, vc, bp)``."""
+    from image_caption_tpu.ops import fused_decode as F
+
+    b, _, d = memory.shape
+    bp = -(-b // 16) * 16
+    mem = jnp.pad(memory, ((0, bp - b), (0, 0), (0, 0))) if bp != b else memory
+    dec_params = variables["params"]["decoder"]
+    vpad = -(-model.vocab_size // 128) * 128
+    weights = F.pack_weights(
+        dec_params, num_layers=model.num_decoder_layers, d_model=d,
+        vocab_size=model.vocab_size, padded_vocab=vpad, max_len=max_len,
+    )
+    ck, cv, s_len = F.pack_cross_kv(dec_params, mem, num_layers=model.num_decoder_layers)
+    kc, vc = F.init_fused_cache(bp, max_len, d, model.num_decoder_layers)
+    return weights, ck, cv, s_len, kc, vc, bp
+
+
 @functools.partial(
     jax.jit, static_argnames=("model", "start_id", "end_id", "max_len", "interpret")
 )
@@ -121,17 +142,8 @@ def fused_greedy_decode(
         num_layers=model.num_decoder_layers, d_model=model.d_model,
         nhead=model.nhead, vocab=model.vocab_size,
     )
-    b, s, d = memory.shape
-    bp = -(-b // 16) * 16
-    mem = jnp.pad(memory, ((0, bp - b), (0, 0), (0, 0))) if bp != b else memory
-    dec_params = variables["params"]["decoder"]
-    vpad = -(-spec["vocab"] // 128) * 128
-    weights = F.pack_weights(
-        dec_params, num_layers=spec["num_layers"], d_model=d,
-        vocab_size=spec["vocab"], padded_vocab=vpad, max_len=max_len,
-    )
-    ck, cv, s_len = F.pack_cross_kv(dec_params, mem, num_layers=spec["num_layers"])
-    kc, vc = F.init_fused_cache(bp, max_len, d, spec["num_layers"])
+    b = memory.shape[0]
+    weights, ck, cv, s_len, kc, vc, bp = _fused_pack(model, variables, memory, max_len)
 
     tokens = jnp.zeros((bp, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
     cur = jnp.full((bp,), start_id, dtype=jnp.int32)
@@ -157,6 +169,48 @@ def fused_greedy_decode(
         cond, body, (jnp.int32(0), tokens, kc, vc, cur, finished)
     )
     return tokens[:b]
+
+
+def fused_greedy_decode_sharded(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    mesh,
+    axis_name: str = "data",
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Data-parallel fused greedy decode over a ``jax.sharding.Mesh``.
+
+    XLA cannot auto-partition a ``pallas_call``, so decode under a mesh
+    normally forfeits the fused kernel's 1.5-2x win and runs layerwise.
+    ``shard_map`` restores it: each device runs its own fused whole-step
+    kernel over its batch shard (decode is embarrassingly data-parallel —
+    no collectives; the per-device early exit can only fire sooner than the
+    global one).  Weights/params ride in replicated; the per-shard row count
+    is padded to the kernel's 16-multiple inside, so any shard size works.
+
+    Greedy parity with the unsharded fused path is exact: each row's compute
+    never depends on other rows.  Serves the v5e-8 serving layout
+    (BASELINE.md north star); reference scale-out had no equivalent (one
+    image per generate call, vit_transformer_model.py:296-325).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(vs, mem):
+        return fused_greedy_decode(
+            model, vs, mem, start_id=start_id, end_id=end_id, max_len=max_len,
+            interpret=interpret,
+        )
+
+    return shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name), check_rep=False,
+    )(variables, memory)
 
 
 @functools.partial(
@@ -234,7 +288,73 @@ def greedy_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "start_id", "end_id", "pad_id", "max_len", "temperature")
+    jax.jit,
+    static_argnames=("model", "start_id", "end_id", "pad_id", "max_len",
+                     "temperature", "interpret"),
+)
+def fused_sample_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+    max_len: int = 50,
+    temperature: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sampling rollout through the fused whole-step kernel — the SCST hot
+    loop (train/steps.py::make_scst_step draws one categorical per token,
+    utils/scst_loss.py:202-254 in the reference).  Same contract as
+    ``sample_decode``; when B is already a 16-multiple (the SCST default
+    b=16) the per-step rng draw shapes match the layerwise path exactly, so
+    the sampled stream is identical up to float-noise logit ties."""
+    from image_caption_tpu.ops import fused_decode as F
+
+    b = memory.shape[0]
+    weights, ck, cv, s_len, kc, vc, bp = _fused_pack(model, variables, memory, max_len)
+    tokens = jnp.zeros((bp, max_len), dtype=jnp.int32).at[:, 0].set(start_id)
+    logps = jnp.zeros((bp, max_len), dtype=jnp.float32)
+    cur = jnp.full((bp,), start_id, dtype=jnp.int32)
+    # padded rows are born finished so they never delay the global early exit
+    finished = jnp.arange(bp) >= b
+
+    def cond(state):
+        idx = state[0]
+        finished = state[-1]
+        return (idx < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        idx, rng, tokens, logps, kc, vc, cur, finished = state
+        rng, key = jax.random.split(rng)
+        logits, _, kc, vc = F.fused_decode_step(
+            cur, kc, vc, ck, cv, weights, idx,
+            num_layers=model.num_decoder_layers, nheads=model.nhead,
+            s_len=s_len, vocab=model.vocab_size, interpret=interpret,
+        )
+        scaled = logits / temperature
+        nxt = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(scaled, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(finished, pad_id, nxt)
+        tok_logp = jnp.where(finished, 0.0, tok_logp)
+        tokens = tokens.at[:, idx + 1].set(nxt)
+        logps = logps.at[:, idx + 1].set(tok_logp)
+        finished = finished | (nxt == end_id)
+        return idx + 1, rng, tokens, logps, kc, vc, nxt, finished
+
+    _, _, tokens, logps, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rng, tokens, logps, kc, vc, cur, finished)
+    )
+    return tokens[:b], logps[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "start_id", "end_id", "pad_id", "max_len",
+                     "temperature", "fused"),
 )
 def sample_decode(
     model,
@@ -247,6 +367,7 @@ def sample_decode(
     pad_id: int = 0,
     max_len: int = 50,
     temperature: float = 1.0,
+    fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multinomial sampling rollout for SCST (scst_loss.py:202-254 equivalent).
 
@@ -254,7 +375,15 @@ def sample_decode(
     is the f32 log-probability of the token WRITTEN at position t (0 at position 0
     and at positions after a row finished — the reference's finished-mask zeroing).
     Post-finish tokens are forced to <pad>.
+
+    ``fused``: None = auto-dispatch to the fused whole-step kernel (same
+    policy as ``greedy_decode``); False/True force layerwise/fused.
     """
+    if fused is not False and (fused is True or _fused_spec(model, variables) is not None):
+        return fused_sample_decode(
+            model, variables, memory, rng, start_id=start_id, end_id=end_id,
+            pad_id=pad_id, max_len=max_len, temperature=temperature,
+        )
     init_cache, step = _apply_fns(model, variables)
     b = memory.shape[0]
     cache = init_cache(memory, max_len)
@@ -312,9 +441,182 @@ def _gather_cache(cache, beam_idx: jnp.ndarray, batch: int, k: int):
     }
 
 
+def _beam_select(idx, logp, seqs0, live_scores0, done_seqs0, done_scores0,
+                 done_count0, live_count0, stopped0, *, b, k, end_id,
+                 stop_when_harvested):
+    """One beam-search selection/harvest update, shared by the layerwise and
+    fused bodies (identical semantics by construction).  ``logp`` is
+    [B, K, Vp] log-probs for this step; returns the updated beam state plus
+    ``(beam_idx, word_idx)`` for the caller's cache reorder.  See
+    ``beam_search_decode``'s docstring for the algorithm/quirk notes."""
+    active = (live_count0 > 0) & ~stopped0  # [B] rows still decoding
+    vp = logp.shape[-1]
+    cand = live_scores0[:, :, None] + logp  # dead beams stay at -inf
+    flat = cand.reshape(b, k * vp)
+    top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K], sorted descending
+    # The reference keeps topk(|live|) candidates (beam_size rebinds to the
+    # shrunken live count, vit:413 / grid:317): mask ranks >= live_count.
+    rank_live = jnp.arange(k)[None, :] < live_count0[:, None]
+    top_scores = jnp.where(rank_live, top_scores, _NEG_INF)
+    beam_idx = top_idx // vp
+    word_idx = (top_idx % vp).astype(jnp.int32)
+
+    # Reorder sequences by winning parent beam, append the word.
+    seqs = jnp.take_along_axis(seqs0, beam_idx[:, :, None], axis=1)
+    seqs = seqs.at[:, :, idx + 1].set(word_idx)
+
+    # Harvest candidates that just emitted <end>.
+    newly_done = (word_idx == end_id) & (top_scores > _NEG_INF / 2)
+    # Insert each newly-done beam into the done pool at slot done_count + rank.
+    rank = jnp.cumsum(newly_done.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(newly_done, done_count0[:, None] + rank, k)
+    slot = jnp.clip(slot, 0, k)  # safety: slots >= k dropped below
+    in_range = newly_done & (slot < k)
+    done_scores = jax.vmap(
+        lambda ds, s, sc, m: ds.at[jnp.where(m, s, k)].set(jnp.where(m, sc, _NEG_INF), mode="drop")
+    )(done_scores0, slot, top_scores, in_range)
+    done_seqs = jax.vmap(
+        lambda dq, s, sq, m: dq.at[jnp.where(m, s, k)].set(
+            jnp.where(m[:, None], sq, 0), mode="drop"
+        )
+    )(done_seqs0, slot, seqs, in_range)
+    n_done = jnp.sum(newly_done, axis=1)
+    done_count = jnp.minimum(done_count0 + n_done, k)
+
+    # Finished beams leave the live set (score -> -inf); the live count
+    # shrinks like the reference's keep_mask re-slice.
+    live_scores = jnp.where(newly_done, _NEG_INF, top_scores)
+    live_count = live_count0 - n_done
+    # Grid stop rule (grid:310): after appending this step's completions,
+    # break if len(completed) >= beam_size — beam_size being the live count
+    # that ENTERED the step (it rebinds only after the check).
+    stopped = stopped0
+    if stop_when_harvested:
+        stopped = stopped | ((n_done > 0) & (done_count >= live_count0))
+
+    # Freeze rows whose decode already ended so extra loop iterations for
+    # other images can't mutate their result (pool/live state).
+    def keep(new, old):
+        a = active.reshape((b,) + (1,) * (new.ndim - 1))
+        return jnp.where(a, new, old)
+
+    return (
+        keep(seqs, seqs0), keep(live_scores, live_scores0),
+        keep(done_seqs, done_seqs0), keep(done_scores, done_scores0),
+        keep(done_count, done_count0), keep(live_count, live_count0),
+        keep(stopped, stopped0), beam_idx, word_idx,
+    )
+
+
+def _beam_init(b: int, k: int, max_len: int, start_id: int):
+    """Initial beam state (shared).  Step-0 trick (vit:370-378): only beam 0
+    is live so every beam doesn't pick the same token; implemented by
+    initializing all but beam 0 to -inf."""
+    seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32).at[:, :, 0].set(start_id)
+    live_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
+    # Harvested (completed) pool: at most K sequences ever complete (the live
+    # set shrinks by one per completion), so K slots are exact, never dropped.
+    done_seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32)
+    done_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32)
+    done_count = jnp.zeros((b,), dtype=jnp.int32)
+    live_count = jnp.full((b,), k, dtype=jnp.int32)
+    stopped = jnp.zeros((b,), dtype=bool)  # grid stop rule fired for this image
+    return seqs, live_scores, done_seqs, done_scores, done_count, live_count, stopped
+
+
+def _beam_pick(seqs, live_scores, done_seqs, done_scores, done_count):
+    """Best completed if any, else best live (vit:415-420)."""
+    have_done = done_count > 0
+    best_done = jnp.argmax(done_scores, axis=1)
+    best_live = jnp.argmax(live_scores, axis=1)
+    pick = jnp.where(have_done, best_done, best_live)
+    src = jnp.where(have_done[:, None, None], done_seqs, seqs)
+    return jnp.take_along_axis(src, pick[:, None, None], axis=1)[:, 0]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "start_id", "end_id", "max_len", "beam_size", "stop_when_harvested"),
+    static_argnames=("model", "start_id", "end_id", "max_len", "beam_size",
+                     "stop_when_harvested", "interpret"),
+)
+def fused_beam_search_decode(
+    model,
+    variables,
+    memory: jnp.ndarray,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int = 50,
+    beam_size: int = 5,
+    stop_when_harvested: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Beam search through the fused whole-step kernel: the B*K rows step in
+    ONE pallas_call per token (the kernel already emits full logits —
+    ops/fused_decode.py); top-k, harvest, and the parent-beam cache reorder
+    stay in XLA.  Same algorithm as ``beam_search_decode`` by construction
+    (shared ``_beam_select``); replaces the reference flagship inference
+    feature (vit_transformer_model.py:327-420) on the TPU hot path."""
+    from image_caption_tpu.ops import fused_decode as F
+
+    b, k = memory.shape[0], beam_size
+    # Expand memory to [B*K, S, d] with beams contiguous per batch element.
+    mem = jnp.repeat(memory, k, axis=0)
+    weights, ck, cv, s_len, kc, vc, bp = _fused_pack(model, variables, mem, max_len)
+    bk = b * k
+    seqs, live_scores, done_seqs, done_scores, done_count, live_count, stopped = (
+        _beam_init(b, k, max_len, start_id)
+    )
+    cur = jnp.full((bk,), start_id, dtype=jnp.int32)
+    # rows bk..bp are kernel padding: never read back, never reordered
+    pad_rows = jnp.arange(bk, bp)
+    pad_cur = jnp.full((bp - bk,), start_id, dtype=jnp.int32)
+
+    def cond(state):
+        idx, _, _, _, _, _, live_count, stopped, _, _, _ = state
+        return (idx < max_len - 1) & jnp.any((live_count > 0) & ~stopped)
+
+    def body(state):
+        (idx, seqs0, live_scores0, done_seqs0, done_scores0, done_count0,
+         live_count0, stopped0, kc, vc, cur) = state
+        cur_p = jnp.concatenate([cur, pad_cur]) if bp != bk else cur
+        logits, _, kc, vc = F.fused_decode_step(
+            cur_p, kc, vc, ck, cv, weights, idx,
+            num_layers=model.num_decoder_layers, nheads=model.nhead,
+            s_len=s_len, vocab=model.vocab_size, interpret=interpret,
+        )
+        logp = jax.nn.log_softmax(logits[:bk], axis=-1).reshape(b, k, -1)
+        (seqs, live_scores, done_seqs, done_scores, done_count, live_count,
+         stopped, beam_idx, word_idx) = _beam_select(
+            idx, logp, seqs0, live_scores0, done_seqs0, done_scores0,
+            done_count0, live_count0, stopped0, b=b, k=k, end_id=end_id,
+            stop_when_harvested=stop_when_harvested,
+        )
+        # Parent-beam reorder of the flat self caches (global row = img*k +
+        # parent); cross K/V are identical across beams of one image, so like
+        # the layerwise _gather_cache they are never reordered.
+        rows = (jnp.arange(b)[:, None] * k + beam_idx).reshape(bk)
+        rowmap = jnp.concatenate([rows, pad_rows]) if bp != bk else rows
+        kc = jnp.take(kc, rowmap, axis=1)
+        vc = jnp.take(vc, rowmap, axis=1)
+        cur = word_idx.reshape(bk)
+        return (idx + 1, seqs, live_scores, done_seqs, done_scores, done_count,
+                live_count, stopped, kc, vc, cur)
+
+    state = (
+        jnp.int32(0), seqs, live_scores, done_seqs, done_scores, done_count,
+        live_count, stopped, kc, vc, cur,
+    )
+    _, seqs, live_scores, done_seqs, done_scores, done_count, _, _, _, _, _ = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    return _beam_pick(seqs, live_scores, done_seqs, done_scores, done_count)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "start_id", "end_id", "max_len", "beam_size",
+                     "stop_when_harvested", "fused"),
 )
 def beam_search_decode(
     model,
@@ -326,25 +628,29 @@ def beam_search_decode(
     max_len: int = 50,
     beam_size: int = 5,
     stop_when_harvested: bool = False,  # grid stop rule (grid:308); vit uses False
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Batched beam search (no per-image Python recursion). Returns [B, max_len]."""
+    """Batched beam search (no per-image Python recursion). Returns [B, max_len].
+
+    ``fused``: None = auto-dispatch to the fused whole-step kernel (TPU
+    single-device, compatible decoder geometry — same policy as
+    ``greedy_decode``); False/True force the layerwise/fused path.
+    """
+    if fused is not False and (fused is True or _fused_spec(model, variables) is not None):
+        return fused_beam_search_decode(
+            model, variables, memory, start_id=start_id, end_id=end_id,
+            max_len=max_len, beam_size=beam_size,
+            stop_when_harvested=stop_when_harvested,
+        )
     init_cache, step = _apply_fns(model, variables)
     b, k = memory.shape[0], beam_size
     # Expand memory to [B*K, S, d] with beams contiguous per batch element.
     mem = jnp.repeat(memory, k, axis=0)
     cache = init_cache(mem, max_len)
 
-    seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32).at[:, :, 0].set(start_id)
-    # Step-0 trick (vit:370-378): only beam 0 is live so every beam doesn't pick the
-    # same token; implemented by initializing all but beam 0 to -inf.
-    live_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
-    # Harvested (completed) pool: at most K sequences ever complete (the live
-    # set shrinks by one per completion), so K slots are exact, never dropped.
-    done_seqs = jnp.zeros((b, k, max_len), dtype=jnp.int32)
-    done_scores = jnp.full((b, k), _NEG_INF, dtype=jnp.float32)
-    done_count = jnp.zeros((b,), dtype=jnp.int32)
-    live_count = jnp.full((b,), k, dtype=jnp.int32)
-    stopped = jnp.zeros((b,), dtype=bool)  # grid stop rule fired for this image
+    seqs, live_scores, done_seqs, done_scores, done_count, live_count, stopped = (
+        _beam_init(b, k, max_len, start_id)
+    )
     cur = jnp.full((b * k,), start_id, dtype=jnp.int32)
 
     def cond(state):
@@ -352,70 +658,20 @@ def beam_search_decode(
         return (idx < max_len - 1) & jnp.any((live_count > 0) & ~stopped)
 
     def body(state):
-        idx, seqs0, live_scores0, done_seqs0, done_scores0, done_count0, live_count0, stopped0, cache, cur = state
-        active = (live_count0 > 0) & ~stopped0  # [B] rows still decoding
+        (idx, seqs0, live_scores0, done_seqs0, done_scores0, done_count0,
+         live_count0, stopped0, cache, cur) = state
         logits, cache = step(cur, cache, idx)  # [B*K, Vp]
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, -1)
-        vp = logp.shape[-1]
-        cand = live_scores0[:, :, None] + logp  # dead beams stay at -inf
-        flat = cand.reshape(b, k * vp)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, K], sorted descending
-        # The reference keeps topk(|live|) candidates (beam_size rebinds to the
-        # shrunken live count, vit:413 / grid:317): mask ranks >= live_count.
-        rank_live = jnp.arange(k)[None, :] < live_count0[:, None]
-        top_scores = jnp.where(rank_live, top_scores, _NEG_INF)
-        beam_idx = top_idx // vp
-        word_idx = (top_idx % vp).astype(jnp.int32)
-
-        # Reorder sequences and caches by winning parent beam, append the word.
-        seqs = jnp.take_along_axis(seqs0, beam_idx[:, :, None], axis=1)
-        seqs = seqs.at[:, :, idx + 1].set(word_idx)
+        (seqs, live_scores, done_seqs, done_scores, done_count, live_count,
+         stopped, beam_idx, word_idx) = _beam_select(
+            idx, logp, seqs0, live_scores0, done_seqs0, done_scores0,
+            done_count0, live_count0, stopped0, b=b, k=k, end_id=end_id,
+            stop_when_harvested=stop_when_harvested,
+        )
         cache = _gather_cache(cache, beam_idx, b, k)
-
-        # Harvest candidates that just emitted <end>.
-        newly_done = (word_idx == end_id) & (top_scores > _NEG_INF / 2)
-        # Insert each newly-done beam into the done pool at slot done_count + rank.
-        rank = jnp.cumsum(newly_done.astype(jnp.int32), axis=1) - 1
-        slot = jnp.where(newly_done, done_count0[:, None] + rank, k)
-        slot = jnp.clip(slot, 0, k)  # safety: slots >= k dropped below
-        in_range = newly_done & (slot < k)
-        done_scores = jax.vmap(
-            lambda ds, s, sc, m: ds.at[jnp.where(m, s, k)].set(jnp.where(m, sc, _NEG_INF), mode="drop")
-        )(done_scores0, slot, top_scores, in_range)
-        done_seqs = jax.vmap(
-            lambda dq, s, sq, m: dq.at[jnp.where(m, s, k)].set(
-                jnp.where(m[:, None], sq, 0), mode="drop"
-            )
-        )(done_seqs0, slot, seqs, in_range)
-        n_done = jnp.sum(newly_done, axis=1)
-        done_count = jnp.minimum(done_count0 + n_done, k)
-
-        # Finished beams leave the live set (score -> -inf); the live count
-        # shrinks like the reference's keep_mask re-slice.
-        live_scores = jnp.where(newly_done, _NEG_INF, top_scores)
-        live_count = live_count0 - n_done
-        # Grid stop rule (grid:310): after appending this step's completions,
-        # break if len(completed) >= beam_size — beam_size being the live count
-        # that ENTERED the step (it rebinds only after the check).
-        stopped = stopped0
-        if stop_when_harvested:
-            stopped = stopped | ((n_done > 0) & (done_count >= live_count0))
-
-        # Freeze rows whose decode already ended so extra loop iterations for
-        # other images can't mutate their result (pool/live state).
-        def keep(new, old):
-            a = active.reshape((b,) + (1,) * (new.ndim - 1))
-            return jnp.where(a, new, old)
-
-        seqs = keep(seqs, seqs0)
-        live_scores = keep(live_scores, live_scores0)
-        done_seqs = keep(done_seqs, done_seqs0)
-        done_scores = keep(done_scores, done_scores0)
-        done_count = keep(done_count, done_count0)
-        live_count = keep(live_count, live_count0)
-        stopped = keep(stopped, stopped0)
         cur = word_idx.reshape(b * k)
-        return idx + 1, seqs, live_scores, done_seqs, done_scores, done_count, live_count, stopped, cache, cur
+        return (idx + 1, seqs, live_scores, done_seqs, done_scores, done_count,
+                live_count, stopped, cache, cur)
 
     state = (
         jnp.int32(0), seqs, live_scores, done_seqs, done_scores, done_count,
@@ -424,14 +680,7 @@ def beam_search_decode(
     _, seqs, live_scores, done_seqs, done_scores, done_count, _, _, _, _ = jax.lax.while_loop(
         cond, body, state
     )
-
-    # Best completed if any, else best live (vit:415-420).
-    have_done = done_count > 0
-    best_done = jnp.argmax(done_scores, axis=1)
-    best_live = jnp.argmax(live_scores, axis=1)
-    pick = jnp.where(have_done, best_done, best_live)
-    src = jnp.where(have_done[:, None, None], done_seqs, seqs)
-    return jnp.take_along_axis(src, pick[:, None, None], axis=1)[:, 0]
+    return _beam_pick(seqs, live_scores, done_seqs, done_scores, done_count)
 
 
 def generate(

@@ -31,9 +31,13 @@ Numerics mirror the XLA path op-for-op so greedy tokens match:
   row adds in bf16 (models/decoder.py::_embed)
 - LayerNorm: flax recipe in f32 — mu, mu2, var = max(0, mu2 - mu^2),
   y = (x - mu) * (rsqrt(var + eps) * scale) + bias
-- attention: f32 scores/softmax statistics; probabilities stay f32 in the PV
-  accumulation (same choice as the flash-decoding kernel — strictly more
-  accurate than mha_reference's bf16-probs cast); 1/sqrt(Dh) scale
+- attention: f32 scores/softmax statistics; self-attn keeps f32 probs in the
+  PV accumulation (the flash-decoding kernel's numerics — that kernel IS the
+  layerwise cached-self-attn path); cross-attn uses a two-pass EXACT softmax
+  whose normalized probs are rounded to bf16 before PV, the precise value
+  mha_reference feeds its einsum (see ``attend``'s docstring — this bf16
+  rounding, not reduction order, dominated the round-4 ViT divergence);
+  1/sqrt(Dh) scale
 - vocab head: f32 input x f32 weights, padded columns forced to -1e30
   (decoder.py::_logits), argmax ties break toward the lower index
 
@@ -236,21 +240,36 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
         head_expand = head_sum.T
 
         def attend(q_rows, kv_k_hbm, kv_v_hbm, layer, row0, nblk,
-                   valid_len, cur_k=None, cur_v=None):
-            """Online-softmax attention of q_rows [TB, d] over blocked HBM K/V.
+                   valid_len, cur_k=None, cur_v=None, exact=False):
+            """Attention of q_rows [TB, d] over blocked HBM K/V.
 
-            One ``fori_loop`` over KV blocks (single body trace — unrolling
+            ``fori_loop``s over KV blocks (single body trace — unrolling
             the blocks in Python made Mosaic keep every block's temporaries
             alive on the scoped-VMEM stack, OOMing at ViT's 13 cross blocks).
             Per block, QK contracts per head via one MXU matmul against the
             constant 0/1 ``head_sum`` [d, H] (a cross-LANE reduce on the VPU
             was 10x slower); PV expands probs back across each head's lanes
             with ``head_expand`` on the MXU and reduces over the cheap
-            sublane axis.  Running max/denominator/accumulator ride the loop
-            carry.  Optionally folds in the current token's K/V held in VMEM
-            (its cache row is scattered after the kernel).  Products and
-            accumulation are f32, matching the layerwise path to reduction
-            order.
+            sublane axis.  Optionally folds in the current token's K/V held
+            in VMEM (its cache row is scattered after the kernel).
+
+            ``exact=False`` (self-attn): online softmax, f32 probs in the PV
+            accumulation — the flash-decoding kernel's numerics
+            (ops/decode_attention.py), which IS the layerwise default path
+            for cached self-attn, so greedy tokens match it.
+
+            ``exact=True`` (cross-attn): two passes.  Pass A computes the
+            global softmax statistics (K DMA + QK only); pass B recomputes
+            the scores (cheaper than storing them — a [.., H] f32 scratch
+            pads H=8 lanes to 128, a 16x VMEM waste), normalizes with the
+            GLOBAL stats, and rounds the normalized probabilities to bf16 —
+            the exact value the layerwise path feeds its PV einsum
+            (``probs.astype(v.dtype)`` in ops/attention.py::mha_reference).
+            Round 4 kept f32 probs here ("strictly more accurate"), but more
+            accurate is not identical: the ~2^-9 bf16 rounding of the probs
+            was the dominant fused-vs-layerwise logit delta (0.08 at ViT's
+            196-token span), flipping near-tie argmaxes.  With it matched,
+            the remaining divergence is f32 sum-order noise (~1e-7 relative).
             """
 
             def k_dma(slot, blk):
@@ -265,26 +284,8 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                     vbuf.at[slot], kv_sems.at[slot, 1],
                 )
 
-            @pl.when(nblk > 0)
-            def _start():
-                k_dma(0, 0).start()
-                v_dma(0, 0).start()
-
-            m0 = jnp.full((tile_b, nheads), _NEG_INF, jnp.float32)
-            l0 = jnp.zeros((tile_b, nheads), jnp.float32)
-            a0 = jnp.zeros((tile_b, d), jnp.float32)
-
-            def blk_body(blk, carry):
-                m_old, l_old, acc_old = carry
-                slot = lax.rem(blk, 2)
-
-                @pl.when(blk + 1 < nblk)
-                def _prefetch():
-                    k_dma(lax.rem(blk + 1, 2), blk + 1).start()
-                    v_dma(lax.rem(blk + 1, 2), blk + 1).start()
-
-                k_dma(slot, blk).wait()
-                # QK: per-head lane sums via MXU (chunked over d)
+            def qk(slot, blk):
+                """Masked scaled scores for one K block: [TB, BLK, H] f32."""
                 s_blk = None
                 for c0 in range(0, d, _CHUNK_D):
                     cw = min(_CHUNK_D, d - c0)
@@ -297,19 +298,11 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                     s_blk = part if s_blk is None else s_blk + part
                 s_blk = (s_blk * scale).reshape(tile_b, BLK, nheads)
                 pos = blk * BLK + lax.broadcasted_iota(jnp.int32, (1, BLK, 1), 1)
-                s_blk = jnp.where(pos < valid_len, s_blk, _NEG_INF)
+                return jnp.where(pos < valid_len, s_blk, _NEG_INF)
 
-                m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=1))   # [TB, H]
-                alpha = jnp.exp(m_old - m_new)
-                pr_blk = jnp.exp(s_blk - m_new[:, None, :])          # [TB, BLK, H]
-                l_new = l_old * alpha + jnp.sum(pr_blk, axis=1)
-
-                v_dma(slot, blk).wait()
-                # PV: expand probs across each head's lanes via MXU (chunked)
-                alpha_d = jnp.dot(alpha, head_expand,
-                                  preferred_element_type=jnp.float32)  # [TB, d]
-                pv = None
-                pr_flat = pr_blk.reshape(tile_b * BLK, nheads)
+            def pv(pr_flat, slot):
+                """Probs [TB*BLK, H] f32 -> weighted V sum [TB, d] (chunked MXU)."""
+                out = None
                 for c0 in range(0, d, _CHUNK_D):
                     cw = min(_CHUNK_D, d - c0)
                     w = jnp.dot(
@@ -319,8 +312,91 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                     part = jnp.sum(
                         w * vbuf[slot][:, :, c0:c0 + cw].astype(jnp.float32), axis=1
                     )
-                    pv = part if pv is None else jnp.concatenate([pv, part], axis=-1)
-                return m_new, l_new, acc_old * alpha_d + pv
+                    out = part if out is None else jnp.concatenate([out, part], axis=-1)
+                return out
+
+            m0 = jnp.full((tile_b, nheads), _NEG_INF, jnp.float32)
+            l0 = jnp.zeros((tile_b, nheads), jnp.float32)
+            a0 = jnp.zeros((tile_b, d), jnp.float32)
+
+            if exact:
+                assert cur_k is None, "exact path serves cross-attn (no current-token fold-in)"
+
+                @pl.when(nblk > 0)
+                def _start_a():
+                    k_dma(0, 0).start()
+
+                def blk_stats(blk, carry):
+                    m_old, l_old = carry
+                    slot = lax.rem(blk, 2)
+
+                    @pl.when(blk + 1 < nblk)
+                    def _prefetch():
+                        k_dma(lax.rem(blk + 1, 2), blk + 1).start()
+
+                    k_dma(slot, blk).wait()
+                    s_blk = qk(slot, blk)
+                    m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=1))
+                    alpha = jnp.exp(m_old - m_new)
+                    l_new = l_old * alpha + jnp.sum(jnp.exp(s_blk - m_new[:, None, :]), axis=1)
+                    return m_new, l_new
+
+                # m is the EXACT global max (max is order-invariant); l's add
+                # order differs from XLA's flat sum at f32-last-bit level only,
+                # 4 decades below the bf16 prob rounding applied next.
+                m, l = lax.fori_loop(0, nblk, blk_stats, (m0, l0))
+
+                @pl.when(nblk > 0)
+                def _start_b():
+                    k_dma(0, 0).start()
+                    v_dma(0, 0).start()
+
+                def blk_pv(blk, acc):
+                    slot = lax.rem(blk, 2)
+
+                    @pl.when(blk + 1 < nblk)
+                    def _prefetch():
+                        k_dma(lax.rem(blk + 1, 2), blk + 1).start()
+                        v_dma(lax.rem(blk + 1, 2), blk + 1).start()
+
+                    k_dma(slot, blk).wait()
+                    s_blk = qk(slot, blk)
+                    # normalized probs, rounded to bf16 = mha_reference's value
+                    pr = (jnp.exp(s_blk - m[:, None, :]) / l[:, None, :]).astype(bf)
+                    v_dma(slot, blk).wait()
+                    pr_flat = pr.astype(jnp.float32).reshape(tile_b * BLK, nheads)
+                    return acc + pv(pr_flat, slot)
+
+                out = lax.fori_loop(0, nblk, blk_pv, a0)
+                return out.astype(bf)
+
+            @pl.when(nblk > 0)
+            def _start():
+                k_dma(0, 0).start()
+                v_dma(0, 0).start()
+
+            def blk_body(blk, carry):
+                m_old, l_old, acc_old = carry
+                slot = lax.rem(blk, 2)
+
+                @pl.when(blk + 1 < nblk)
+                def _prefetch():
+                    k_dma(lax.rem(blk + 1, 2), blk + 1).start()
+                    v_dma(lax.rem(blk + 1, 2), blk + 1).start()
+
+                k_dma(slot, blk).wait()
+                s_blk = qk(slot, blk)
+
+                m_new = jnp.maximum(m_old, jnp.max(s_blk, axis=1))   # [TB, H]
+                alpha = jnp.exp(m_old - m_new)
+                pr_blk = jnp.exp(s_blk - m_new[:, None, :])          # [TB, BLK, H]
+                l_new = l_old * alpha + jnp.sum(pr_blk, axis=1)
+
+                v_dma(slot, blk).wait()
+                alpha_d = jnp.dot(alpha, head_expand,
+                                  preferred_element_type=jnp.float32)  # [TB, d]
+                pr_flat = pr_blk.reshape(tile_b * BLK, nheads)
+                return m_new, l_new, acc_old * alpha_d + pv(pr_flat, slot)
 
             m, l, out = lax.fori_loop(0, nblk, blk_body, (m0, l0, a0))
 
@@ -388,7 +464,8 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                              ).astype(bf) + bias_row(q_b_ref, layer)
                 if t == ntiles - 1 and layer + 1 < num_layers:
                     w_dma(2, layer + 1).start()
-                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len)
+                o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len,
+                            exact=True)
                 if t == 0:
                     w_dma(3, layer).wait()
                 delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32

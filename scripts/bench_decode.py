@@ -41,7 +41,7 @@ def main():
                     help="A/B axis: Pallas-vs-XLA decode-attention kernel, bf16-vs-f32 "
                          "weight stream (utils/precision.py; bit-identical tokens), greedy "
                          "loop unroll 2-vs-1 (identical captions; greedy mode only), or the "
-                         "fused whole-step kernel vs the layerwise path (greedy only)")
+                         "fused whole-step kernel vs the layerwise path (greedy + beam)")
     ap.add_argument("--unroll", type=int, default=2, help="unroll factor for --ab unroll")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -100,9 +100,9 @@ def main():
                         max_len=max_len, unroll=unroll, fused=fused,
                     )
                 else:
-                    tokens = engine.generate(
+                    tokens = engine.beam_search_decode(
                         module, variables, memory, start_id=107, end_id=end_id,
-                        max_len=max_len, method=method, beam_size=args.beam,
+                        max_len=max_len, beam_size=args.beam, fused=fused,
                     )
                 return s * 1e-9 + jnp.sum(tokens).astype(jnp.float32)
 
@@ -143,9 +143,9 @@ def main():
             elif args.ab == "weights":
                 variants = ("bf16", "f32")
             elif args.ab == "fused":
-                if method != "greedy":
-                    continue  # the fused whole-step kernel is greedy-only
-                variants = ("fused", "layerwise")
+                if method == "encode":
+                    continue
+                variants = ("fused", "layerwise")  # greedy AND beam (round 5)
             else:
                 if method != "greedy":
                     continue  # unroll is a greedy_decode knob

@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--sweep", action="store_true",
+                    help="batch/tile sweep at fixed per-row work (b=256 "
+                         "regression attribution)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -95,6 +98,39 @@ def main():
         out["cross_3blocks_ms"] = round(out["full"] - out["cross-lite"], 4)
         out["self_3blocks_ms"] = round(out["full"] - out["self-lite"], 4)
     print(json.dumps(out))
+
+    if args.sweep:
+        # Attribute the b=256 per-caption regression (VERDICT r4 weak #1):
+        # sweep the in-kernel tile count at FIXED per-row work and split
+        # attention-block scaling (idx=48: 3 self blocks) from the
+        # attention-free floor (idx=0).  Per-row us flat in b => linear
+        # scaling (b=64's advantage is elsewhere); growing => per-tile
+        # overhead (each tile's attend re-pays the unhidden first-block DMA
+        # latency per layer, 2 attends x 6 layers x ntiles).
+        sweep = {"sweep": [], "device": out["device"]}
+        for bs in (64, 128, 192, 256):
+            kc_s, vc_s = F.init_fused_cache(bs, max_len, d, L)
+            kc_s = kc_s + mk(kc_s.shape)
+            vc_s = vc_s + mk(vc_s.shape)
+            ck_s, cv_s = mk((L, bs, 64, d)), mk((L, bs, 64, d))
+            row = {"batch": bs, "tiles": bs // 64}
+            for label, idx in (("idx48_ms", 48), ("idx0_ms", 0)):
+                def body(i, s, kc, vc, ck, cv):
+                    tok = (s.astype(jnp.int32) + i) % vocab
+                    toks = jnp.full((bs,), 0, jnp.int32) + tok
+                    _, nxt, _, _ = F.fused_decode_step(
+                        toks, kc, vc, ck, cv, weights, jnp.int32(idx),
+                        num_layers=L, nheads=H, s_len=49, vocab=vocab,
+                        interpret=interpret,
+                    )
+                    return s + nxt.sum().astype(jnp.float32) * 1e-9
+
+                sec = device_time(body, kc_s, vc_s, ck_s, cv_s, iters=(4, 44), reps=3)
+                row[label] = round(sec * 1e3, 4)
+                row[label.replace("_ms", "_us_per_row")] = round(sec * 1e6 / bs, 3)
+            print(f"# sweep b={bs}: {row}", flush=True)
+            sweep["sweep"].append(row)
+        print(json.dumps(sweep))
 
 
 if __name__ == "__main__":

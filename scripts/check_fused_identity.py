@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--max-len", type=int, default=52)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--beam", type=int, default=0, metavar="K",
+                    help="ALSO compare beam-K: fused_beam_search_decode vs the "
+                         "layerwise beam (result equality per caption)")
     ap.add_argument("--logits-delta", action="store_true",
                     help="also teacher-force both per-step paths and report "
                          "max logit delta + margins at argmax flips")
@@ -110,6 +113,36 @@ def main():
             tok_same += int(np.sum(ref[r, :n] == fused[r, :n]))
             tok_total += n
 
+    beam_stats = None
+    if args.beam:
+        beam_tok_same = beam_tok_total = beam_cap_same = beam_cap_total = 0
+        for bi in range(args.batches):
+            images = jnp.asarray(
+                rng_np.integers(0, 255, size=(args.batch, 256, 256, 3), dtype=np.uint8)
+            )
+            memory = module.apply(variables, eval_preprocess(images), method=module.encode)
+            ref = np.asarray(engine.beam_search_decode(
+                module, variables, memory, start_id=107, end_id=108,
+                max_len=args.max_len, beam_size=args.beam, fused=False,
+            ))
+            fused = np.asarray(engine.fused_beam_search_decode(
+                module, variables, memory, start_id=107, end_id=108,
+                max_len=args.max_len, beam_size=args.beam, interpret=interpret,
+            ))
+            lens = np.asarray(sequence_lengths(jnp.asarray(ref), 108))
+            for r in range(args.batch):
+                n = int(lens[r])
+                beam_cap_same += int(np.array_equal(ref[r, :n], fused[r, :n]))
+                beam_cap_total += 1
+                beam_tok_same += int(np.sum(ref[r, :n] == fused[r, :n]))
+                beam_tok_total += n
+        beam_stats = {
+            "beam_size": args.beam,
+            "token_identity": round(beam_tok_same / max(beam_tok_total, 1), 6),
+            "caption_identity": round(beam_cap_same / max(beam_cap_total, 1), 6),
+            "captions": beam_cap_total,
+        }
+
     out = {
         "weights": src,
         "backend": jax.default_backend(),
@@ -122,6 +155,8 @@ def main():
         "tokens": tok_total,
         "captions": cap_total,
     }
+    if beam_stats is not None:
+        out["beam"] = beam_stats
 
     if args.logits_delta:
         # Teacher-force the LAYERWISE rollout's own tokens through BOTH
