@@ -64,20 +64,49 @@ def _apply_fns(model, variables) -> Tuple[Callable, StepFn]:
     return init_cache, step
 
 
-def _fused_spec(model, variables) -> Optional[dict]:
+# Fused-by-default cross-attention span limit: spans up to this many memory
+# tokens (grid: 49) measure token/caption identity 1.0/1.0 vs the layerwise
+# path on TPU with trained weights, greedy AND beam (PERF.md).  Longer spans
+# (ViT: 196 -> 13 KV blocks) accumulate f32 block-grouping noise that
+# amplifies through the 6 layers: measured 0.992/0.965 greedy, 0.934/0.895
+# beam — every argmax flip at a <=7e-5 top-2 margin (true near-ties), but the
+# decode-fidelity north star is token-for-token, so long spans default to the
+# layerwise path.  ICT_FUSED_DECODE=all (or fused=True) opts such geometries
+# into the kernel's 1.5x speedup.
+_FUSED_SPAN_LIMIT = 64
+
+# Kernel row budget for auto-dispatch: the per-layer new-K/V VMEM outputs
+# scale with rows (~13.8 KB/row at d=512/L=6 next to ~11 MB of fixed weight/
+# KV buffers), so beam-5 at b=256 (1280 rows) exceeds the 16 MB scoped-VMEM
+# limit (measured: 22.6 MB requested).  320 rows (beam-5 at b=64, greedy at
+# b<=320) compiles with headroom; larger row counts auto-fall back to the
+# layerwise path.  fused=True still forces the kernel (and surfaces the
+# Mosaic OOM) for experimentation.
+_FUSED_MAX_ROWS = 320
+
+
+def _fused_rows_ok(rows: int) -> bool:
+    return -(-rows // 16) * 16 <= _FUSED_MAX_ROWS
+
+
+def _fused_spec(model, variables, memory=None) -> Optional[dict]:
     """Kernel-compatibility check for the fused decode path.
 
     The fused whole-step kernel (ops/fused_decode.py) serves any
     CaptioningModel whose decoder matches the standard geometry: head_dim a
     lane-tileable 64+ and params under ``params/decoder``.  Single-device TPU
     only — under a multi-device mesh XLA cannot auto-partition a pallas_call,
-    so sharded decode keeps the layerwise XLA path.
+    so sharded decode keeps the layerwise XLA path.  ``memory`` (when given)
+    gates by cross span: see ``_FUSED_SPAN_LIMIT``.
     """
     import os
 
-    if os.environ.get("ICT_FUSED_DECODE", "1") != "1":
+    mode = os.environ.get("ICT_FUSED_DECODE", "1")
+    if mode not in ("1", "all"):
         return None
     if os.environ.get("ICT_DISABLE_PALLAS", "0") == "1":
+        return None
+    if mode != "all" and memory is not None and memory.shape[1] > _FUSED_SPAN_LIMIT:
         return None
     try:
         if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
@@ -250,7 +279,9 @@ def greedy_decode(
     # STATIC argument so the two paths never share a jit cache entry (an env
     # flag read at trace time would leave the second variant of an A/B stale).
     if unroll == 1 and fused is not False and (
-        fused is True or _fused_spec(model, variables) is not None
+        fused is True
+        or (_fused_rows_ok(memory.shape[0])
+            and _fused_spec(model, variables, memory) is not None)
     ):
         # TPU fast path: one fused pallas_call per token (ops/fused_decode.py)
         return fused_greedy_decode(
@@ -379,7 +410,11 @@ def sample_decode(
     ``fused``: None = auto-dispatch to the fused whole-step kernel (same
     policy as ``greedy_decode``); False/True force layerwise/fused.
     """
-    if fused is not False and (fused is True or _fused_spec(model, variables) is not None):
+    if fused is not False and (
+        fused is True
+        or (_fused_rows_ok(memory.shape[0])
+            and _fused_spec(model, variables, memory) is not None)
+    ):
         return fused_sample_decode(
             model, variables, memory, rng, start_id=start_id, end_id=end_id,
             pad_id=pad_id, max_len=max_len, temperature=temperature,
@@ -636,7 +671,11 @@ def beam_search_decode(
     single-device, compatible decoder geometry — same policy as
     ``greedy_decode``); False/True force the layerwise/fused path.
     """
-    if fused is not False and (fused is True or _fused_spec(model, variables) is not None):
+    if fused is not False and (
+        fused is True
+        or (_fused_rows_ok(memory.shape[0] * beam_size)
+            and _fused_spec(model, variables, memory) is not None)
+    ):
         return fused_beam_search_decode(
             model, variables, memory, start_id=start_id, end_id=end_id,
             max_len=max_len, beam_size=beam_size,
