@@ -604,7 +604,6 @@ def fused_beam_search_decode(
     )
     cur = jnp.full((bk,), start_id, dtype=jnp.int32)
     # rows bk..bp are kernel padding: never read back, never reordered
-    pad_rows = jnp.arange(bk, bp)
     pad_cur = jnp.full((bp - bk,), start_id, dtype=jnp.int32)
 
     def cond(state):
@@ -630,10 +629,25 @@ def fused_beam_search_decode(
         # Parent-beam reorder of the flat self caches (global row = img*k +
         # parent); cross K/V are identical across beams of one image, so like
         # the layerwise _gather_cache they are never reordered.
-        rows = (jnp.arange(b)[:, None] * k + beam_idx).reshape(bk)
-        rowmap = jnp.concatenate([rows, pad_rows]) if bp != bk else rows
-        kc = jnp.take(kc, rowmap, axis=1)
-        vc = jnp.take(vc, rowmap, axis=1)
+        # Row-major cache layout [B, L, Lpad, d]: one beam row = one
+        # contiguous L*Lpad*d chunk, so this gather is a straight row copy.
+        # (The first layout, [L, B, ...], made it 2.25 ms/step — L strided
+        # 64 KB chunks per row — vs 1.07 ms/step for the whole fused kernel;
+        # measured via an ICT_BEAM_NO_GATHER attribution run, PERF.md.)
+        # (Measured at b=64, 320 rows: this batched take_along_axis and the
+        # equivalent jnp.take(rowmap, axis=0) both cost ~1.5 ms/step — the
+        # fused beam's dominant cost (the kernel itself is 1.07 ms/step); a
+        # flattened take_along_axis is pathological (8+ ms/step, index
+        # broadcast over the trailing 393 KB); the original [L, B, ...]
+        # layout cost 2.25 ms/step.  PERF.md "Fused beam search".)
+        def reorder(cache):
+            shaped = cache[:bk].reshape(b, k, *cache.shape[1:])
+            idx = beam_idx.reshape(b, k, *([1] * (cache.ndim - 1)))
+            out = jnp.take_along_axis(shaped, idx, axis=1).reshape(bk, *cache.shape[1:])
+            return jnp.concatenate([out, cache[bk:]]) if bp != bk else out
+
+        kc = reorder(kc)
+        vc = reorder(vc)
         cur = word_idx.reshape(bk)
         return (idx + 1, seqs, live_scores, done_seqs, done_scores, done_count,
                 live_count, stopped, kc, vc, cur)

@@ -139,11 +139,13 @@ def pack_weights(decoder_params: Dict[str, Any], *, num_layers: int, d_model: in
 
 def pack_cross_kv(decoder_params: Dict[str, Any], memory: jnp.ndarray, *,
                   num_layers: int) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """Per-layer cross K/V from encoder memory, stacked [L, B, Spad, d] bf16.
+    """Per-layer cross K/V from encoder memory, stacked [B, L, Spad, d] bf16.
 
     Same values CrossAttention.memory_kv computes (models/layers.py:145-148),
     kept FLAT and padded to a BLK multiple; padded positions are masked in the
-    kernel by the true length S.
+    kernel by the true length S.  Layout is ROW-major (batch leading, layer
+    second) like the self caches — one row = one contiguous chunk, which is
+    what makes the beam-search parent reorder a straight row gather.
     """
     _, s, _ = memory.shape
     mem = memory.astype(jnp.bfloat16)
@@ -157,15 +159,16 @@ def pack_cross_kv(decoder_params: Dict[str, Any], memory: jnp.ndarray, *,
         ks.append(k)
         vs.append(v)
     spad = _round_up(s, BLK)
-    ck = jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
-    cv = jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
+    ck = jnp.pad(jnp.stack(ks, axis=1), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
+    cv = jnp.pad(jnp.stack(vs, axis=1), ((0, 0), (0, 0), (0, spad - s), (0, 0)))
     return ck, cv, s
 
 
 def init_fused_cache(batch: int, max_len: int, d_model: int, num_layers: int):
-    """Zeroed stacked self-attn caches [L, B, Lpad, d] bf16 (k, v)."""
+    """Zeroed stacked self-attn caches [B, L, Lpad, d] bf16 (k, v) — row-major
+    so a beam reorder gathers whole contiguous rows."""
     lpad = _round_up(max_len, BLK)
-    z = jnp.zeros((num_layers, batch, lpad, d_model), jnp.bfloat16)
+    z = jnp.zeros((batch, num_layers, lpad, d_model), jnp.bfloat16)
     return z, jnp.copy(z)
 
 
@@ -274,13 +277,13 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
 
             def k_dma(slot, blk):
                 return pltpu.make_async_copy(
-                    kv_k_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
+                    kv_k_hbm.at[pl.ds(row0, tile_b), layer, pl.ds(blk * BLK, BLK), :],
                     kbuf.at[slot], kv_sems.at[slot, 0],
                 )
 
             def v_dma(slot, blk):
                 return pltpu.make_async_copy(
-                    kv_v_hbm.at[layer, pl.ds(row0, tile_b), pl.ds(blk * BLK, BLK), :],
+                    kv_v_hbm.at[pl.ds(row0, tile_b), layer, pl.ds(blk * BLK, BLK), :],
                     vbuf.at[slot], kv_sems.at[slot, 1],
                 )
 
@@ -464,8 +467,15 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
                              ).astype(bf) + bias_row(q_b_ref, layer)
                 if t == ntiles - 1 and layer + 1 < num_layers:
                     w_dma(2, layer + 1).start()
+                # Exact two-pass softmax only where it matters: spans beyond
+                # engine._FUSED_SPAN_LIMIT (=64; ViT's 196), where bf16-prob
+                # rounding parity with mha_reference reduces near-tie argmax
+                # flips (0.986->0.992 measured).  Short spans (grid: 49) are
+                # identity-certified 1.0/1.0 on the online f32-probs path,
+                # and the exact path's second QK+K-DMA sweep costs ~10% of
+                # the whole decode step there — pure loss.
                 o2 = attend(q2, ck_hbm, cv_hbm, layer, row0, n_cross_blk, s_len,
-                            exact=True)
+                            exact=(s_pad > 64))
                 if t == 0:
                     w_dma(3, layer).wait()
                 delta2 = jnp.dot(o2, co_buf[:], preferred_element_type=jnp.float32
@@ -516,10 +526,10 @@ def _make_kernel(num_layers: int, nheads: int, head_dim: int,
 )
 def fused_decode_step(
     tok: jnp.ndarray,          # [B] int32 current tokens
-    k_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
-    v_cache: jnp.ndarray,      # [L, B, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
-    cross_k: jnp.ndarray,      # [L, B, Spad, d] bf16
-    cross_v: jnp.ndarray,      # [L, B, Spad, d] bf16
+    k_cache: jnp.ndarray,      # [B, L, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
+    v_cache: jnp.ndarray,      # [B, L, Lpad, d] bf16 (read-only; row `index` updated via DUS after the kernel)
+    cross_k: jnp.ndarray,      # [B, L, Spad, d] bf16
+    cross_v: jnp.ndarray,      # [B, L, Spad, d] bf16
     weights: FusedWeights,
     index,                     # scalar int32 decode position
     *,
@@ -539,7 +549,7 @@ def fused_decode_step(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L, b, lpad, d = k_cache.shape
+    b, L, lpad, d = k_cache.shape
     assert L == num_layers and b % BLK == 0, (L, b)
     head_dim = d // nheads
     s_pad = cross_k.shape[2]
@@ -562,8 +572,10 @@ def fused_decode_step(
     out_shapes = (
         jax.ShapeDtypeStruct((b, vpad), f32),        # logits
         jax.ShapeDtypeStruct((b, 1), jnp.int32),     # next token
-        jax.ShapeDtypeStruct((L, b, d), bf),         # new K rows (per layer)
-        jax.ShapeDtypeStruct((L, b, d), bf),         # new V rows
+        jax.ShapeDtypeStruct((L, b, d), bf),         # new K rows (per layer;
+        jax.ShapeDtypeStruct((L, b, d), bf),         #  layer-major: [B, L, d]
+        # VMEM would pad L=6 -> 8 sublanes, +33% on the row-scaled budget —
+        # the [B,L,..] reorder is a cheap XLA transpose in the scatter below)
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -616,9 +628,9 @@ def fused_decode_step(
     idx32 = jnp.asarray(index, jnp.int32)
     zero = jnp.zeros((), jnp.int32)
     k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k_new[:, :, None, :], (zero, zero, idx32, zero)
+        k_cache, k_new.transpose(1, 0, 2)[:, :, None, :], (zero, zero, idx32, zero)
     )
     v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v_new[:, :, None, :], (zero, zero, idx32, zero)
-    )
+        v_cache, v_new.transpose(1, 0, 2)[:, :, None, :], (zero, zero, idx32, zero)
+    )  # [B, L, Lpad, d]: new rows [B, L, 1, d] land at position `index`
     return logits, nxt[:, 0], k_cache, v_cache

@@ -67,7 +67,7 @@ def main():
     kc, vc = F.init_fused_cache(b, max_len, d, L)
     kc = kc + mk(kc.shape)
     vc = vc + mk(vc.shape)
-    cross_full = mk((L, b, 64, d)), mk((L, b, 64, d))
+    cross_full = mk((b, L, 64, d)), mk((b, L, 64, d))
     cross_lite = cross_full[0][:, :, :16, :], cross_full[1][:, :, :16, :]
 
     configs = [
@@ -112,7 +112,7 @@ def main():
             kc_s, vc_s = F.init_fused_cache(bs, max_len, d, L)
             kc_s = kc_s + mk(kc_s.shape)
             vc_s = vc_s + mk(vc_s.shape)
-            ck_s, cv_s = mk((L, bs, 64, d)), mk((L, bs, 64, d))
+            ck_s, cv_s = mk((bs, L, 64, d)), mk((bs, L, 64, d))
             row = {"batch": bs, "tiles": bs // 64}
             for label, idx in (("idx48_ms", 48), ("idx0_ms", 0)):
                 def body(i, s, kc, vc, ck, cv):

@@ -178,9 +178,9 @@ def test_fused_multi_tile_matches_single_tile():
     lg_one, nxt_one, kc_one = step0(memory[:64], tok[:64])  # ntiles = 1
     np.testing.assert_array_equal(lg_all[:64], lg_one)
     np.testing.assert_array_equal(nxt_all[:64], nxt_one)
-    np.testing.assert_array_equal(kc_all[:, :64], kc_one)
+    np.testing.assert_array_equal(kc_all[:64], kc_one)
     # second tile actually computed (not zero/stale)
-    assert np.any(kc_all[:, 64:, 0] != 0)
+    assert np.any(kc_all[64:, :, 0] != 0)
     assert np.all(lg_all[:, VOCAB:] <= -1e29)
 
 
@@ -382,7 +382,7 @@ def test_fused_cache_write_roundtrip(decode_setup):
     )
     for i in range(L):
         ref_k = np.asarray(cache[f"layer_{i}"]["self"]["k"])[:, 0]  # [b, d]
-        got_k = np.asarray(kc)[i, :b, 0]
+        got_k = np.asarray(kc)[:b, i, 0]
         np.testing.assert_allclose(got_k, ref_k, atol=0.02, rtol=0.02)
         # untouched rows stay zero
-        assert np.all(np.asarray(kc)[i, :b, 1:] == 0)
+        assert np.all(np.asarray(kc)[:b, i, 1:] == 0)
