@@ -75,14 +75,13 @@ def _apply_fns(model, variables) -> Tuple[Callable, StepFn]:
 # into the kernel's 1.5x speedup.
 _FUSED_SPAN_LIMIT = 64
 
-# Kernel row budget for auto-dispatch: the per-layer new-K/V VMEM outputs
-# scale with rows (~13.8 KB/row at d=512/L=6 next to ~11 MB of fixed weight/
-# KV buffers), so beam-5 at b=256 (1280 rows) exceeds the 16 MB scoped-VMEM
-# limit (measured: 22.6 MB requested).  320 rows (beam-5 at b=64, greedy at
-# b<=320) compiles with headroom; larger row counts auto-fall back to the
-# layerwise path.  fused=True still forces the kernel (and surfaces the
-# Mosaic OOM) for experimentation.
-_FUSED_MAX_ROWS = 320
+# Kernel row budget for auto-dispatch: the x_all/logits/new-K/V VMEM buffers
+# scale ~14 KB/row (d=512/L=6) next to ~11 MB of fixed weight/KV buffers.
+# The kernel requests a 64 MB scoped-VMEM window (ops/fused_decode.py —
+# the v5e has 128 MB physical VMEM; the 16 MB default OOM'd at 192 rows),
+# which serves ~3.8k rows; cap dispatch at 2048 (beam-5 at b=256 = 1280 rows
+# verified on hardware).  fused=True still forces the kernel beyond the cap.
+_FUSED_MAX_ROWS = 2048
 
 
 def _fused_rows_ok(rows: int) -> bool:

@@ -610,6 +610,11 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((6,)),          # weight sems
             pltpu.SemaphoreType.DMA((2, 2)),        # kv read sems
         ],
+        # The default 16 MB scoped-VMEM window is the binding constraint on
+        # batch (the x_all/logits/new-KV buffers scale ~14 KB/row: b=192 was
+        # 71 KB over); the v5e has 128 MB physical VMEM, so raise the window —
+        # 64 MB serves ~3.8k rows (beam-5 at b=256 = 1280 rows needs ~23 MB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(index, jnp.int32).reshape(1, 1),
