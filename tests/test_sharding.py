@@ -129,7 +129,8 @@ def test_sharded_greedy_decode(module_and_vars):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
 
 
-def test_sharded_beam_matches_unsharded(module_and_vars):
+@pytest.mark.slow  # 73 s — and the driver re-certifies the same property every
+def test_sharded_beam_matches_unsharded(module_and_vars):  # round via dryrun_multichip
     """Beam search (the reference's flagship inference feature) under SPMD:
     DP-sharded memory and TP-sharded params must reproduce the unsharded
     tokens exactly (round-3 gap: beam had zero multi-device evidence)."""
