@@ -632,7 +632,7 @@ def fused_beam_search_decode(
         # contiguous L*Lpad*d chunk, so this gather is a straight row copy.
         # (The first layout, [L, B, ...], made it 2.25 ms/step — L strided
         # 64 KB chunks per row — vs 1.07 ms/step for the whole fused kernel;
-        # measured via an ICT_BEAM_NO_GATHER attribution run, PERF.md.)
+        # measured via a temporary gather-disabled attribution build, PERF.md.)
         # (Measured at b=64, 320 rows: this batched take_along_axis and the
         # equivalent jnp.take(rowmap, axis=0) both cost ~1.5 ms/step — the
         # fused beam's dominant cost (the kernel itself is 1.07 ms/step); a
